@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (transcripts ->
+mention detection -> entity linking -> canonicalization -> triples) at the
+smoke scale. ``queries()`` exposes every implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives each a DuckDB-runnable ANSI-SQL twin
+(the KG queries read the same deterministic synthetic parquet the Spark
+side reads, via absolute read_parquet paths, so the comparison is
+engine-vs-engine on identical bytes).
 """
 
 from __future__ import annotations
@@ -15,24 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the KG triple set over the sf0.001 synthetic
+    transcript corpus (the BASELINE.json-mandated input shape)."""
+    from memex_kg_spark.synth import ensure_synth
+    from memex_kg_spark.pipeline import build_kg
+
+    sf_dir = ensure_synth(0.001)
+    return build_kg(spark, sf_dir)["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from memex_kg_spark.queries.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from memex_kg_spark.queries.registry import all_oracle_sql
+
+    return all_oracle_sql()

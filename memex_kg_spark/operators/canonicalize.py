@@ -1,0 +1,84 @@
+"""Canonicalization + graph materialization operators.
+
+Replaces the reference's insert-time dedup (unique-wid constraint with
+swallowed ConstraintError = first-writer-wins, db/db_connection.py:51-56,
+143-146) and edge creation (link_father_son: endpoint match + one edge per
+claim, db/db_connection.py:150-203) with set-oriented Spark plans:
+
+- ``salted_counts``: explicit two-phase aggregation for Zipf-hot keys —
+  partial agg on (key, salt) then final agg on key. With plain groupBy a
+  single hot surface form ("eiffel tower" at 100x median) lands one
+  reducer with 100x the work; salting bounds any reducer at ~1/S of the
+  hot key. (Spark's hash-agg already does map-side partials for counts;
+  the salted form is the general pattern for aggs without partials, and
+  pipeline metrics use it so the path is exercised and tested.)
+- ``build_nodes`` / ``build_edges``: distinct + broadcast dimension join +
+  endpoint semi-join gating, deduped on (src, pred, dst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import canonical_map
+
+
+def salted_counts(df: DataFrame, key: str, n_salts: int = 16,
+                  out: str = "n") -> DataFrame:
+    """Two-phase skew-safe count per key: groupBy(key, salt) -> groupBy(key).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()),
+                        F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").cast("long").alias(out))
+
+
+def entity_dim(alias_dim: DataFrame) -> DataFrame:
+    """One row per qid with its canonical attributes (the dimension is
+    alias-grained; entity attributes repeat per alias, so first() per qid
+    is exact, not arbitrary)."""
+    return (alias_dim
+            .groupBy("qid")
+            .agg(F.first("label").alias("label"),
+                 F.first("node_type").alias("node_type"),
+                 F.first("lat").alias("lat"),
+                 F.first("lon").alias("lon"),
+                 F.first("prop_keys").alias("prop_keys"),
+                 F.first("prop_vals").alias("prop_vals")))
+
+
+def build_nodes(triples: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """Nodes = every qid appearing as a subject or entity-typed object,
+    joined to the entity dimension, with canonical_id from hash-min CC.
+
+    The triple side reduces to a distinct id set BEFORE any join — the
+    only shuffle is on the (small) distinct ids, never on raw triples.
+    node_type follows the reference rule 'has coordinates -> Place else
+    Knowledge' (db/db_connection.py:114), already encoded in the dim."""
+    ids = (triples.select(F.col("subj").alias("qid"))
+           .union(triples.filter(F.col("obj_type") == "entity")
+                  .select(F.col("obj").alias("qid")))
+           .distinct())
+    dim = entity_dim(alias_dim)
+    canon = canonical_map(alias_dim)
+    return (ids.join(F.broadcast(dim), "qid")
+            .join(F.broadcast(canon), "qid")
+            .select("qid", "label", "node_type", "lat", "lon",
+                    "canonical_id"))
+
+
+def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Entity edges with endpoint-existence gating (reference J5) and
+    (src,pred,dst) dedup (reference one-edge-per-claim, U3)."""
+    e = (triples.filter(F.col("obj_type") == "entity")
+         .select(F.col("subj").alias("src"), "pred",
+                 F.col("obj").alias("dst")))
+    node_ids = nodes.select(F.col("qid"))
+    e = (e.join(F.broadcast(node_ids.withColumnRenamed("qid", "src")),
+                "src", "left_semi")
+          .join(F.broadcast(node_ids.withColumnRenamed("qid", "dst")),
+                "dst", "left_semi"))
+    return e.select("src", "pred", "dst").dropDuplicates(
+        ["src", "pred", "dst"])

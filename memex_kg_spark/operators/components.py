@@ -1,0 +1,86 @@
+"""Iterative hash-min connected components (DataFrame self-join loop).
+
+Stands in for the reference's Neo4j MERGE-based canonical dedup (unique
+``wid`` constraint + swallowed ConstraintError, db/db_connection.py:51-56,
+143-146): entities that share a normalized alias collapse into one
+canonical cluster whose id is the minimum qid of the component.
+
+Algorithm (hash-min label propagation):
+    label(v) <- min(label(v), min over neighbors u of label(u))
+iterated to fixpoint. Each iteration is one shuffle (groupBy id); the
+frontier DataFrame is ``localCheckpoint``-ed every iteration to truncate
+lineage — without it the self-join plan grows exponentially and the job
+dies long before 100 TB. Convergence is detected by counting changed
+labels (an AQE-sized aggregation, cheap relative to the join).
+
+Iterations are bounded by the graph diameter; alias-sharing graphs are
+shallow (star-ish around hub aliases), so typical convergence is <10
+rounds. For adversarial long-path graphs, swap in large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+loop skeleton is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """Return (id, component) where component = min id reachable.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    ids = (sym.select(F.col("a").alias("id"))
+           .union(sym.select(F.col("b").alias("id")))
+           .distinct())
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        # candidate label for each node: min label among its neighbors
+        neigh = (sym.join(labels.withColumnRenamed("id", "b"), "b")
+                 .groupBy("a").agg(F.min("component").alias("n_comp"))
+                 .withColumnRenamed("a", "id"))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("n_comp"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def alias_component_edges(alias_dim: DataFrame) -> DataFrame:
+    """Shares-an-alias graph: for every alias, edges from each member qid to
+    the alias-minimum qid (star per alias — linear, not quadratic, in
+    members, which matters for hub aliases shared by many entities)."""
+    m = alias_dim.select("norm_alias", "qid")
+    mins = m.groupBy("norm_alias").agg(F.min("qid").alias("root"))
+    return (m.join(mins, "norm_alias")
+            .filter(F.col("qid") != F.col("root"))
+            .select(F.col("qid").alias("src"), F.col("root").alias("dst"))
+            .distinct())
+
+
+def canonical_map(alias_dim: DataFrame) -> DataFrame:
+    """qid -> canonical_id (min qid of the shares-an-alias component);
+    singleton entities map to themselves."""
+    cc = connected_components(alias_component_edges(alias_dim))
+    all_qids = alias_dim.select("qid").distinct()
+    return (all_qids.join(cc.withColumnRenamed("id", "qid"), "qid", "left")
+            .select("qid",
+                    F.coalesce("component", "qid").alias("canonical_id")))

@@ -1,0 +1,84 @@
+"""Entity linking: broadcast candidate join + vectorized scoring.
+
+The reference linked mentions by one Cypher lookup per TagMe tag
+(``toLower(p.label) = $label`` — db/db_connection.py:205-219, called from
+ingestion/europeana_ingestion_places.py:148-152). Here the whole corpus
+links with ONE broadcast hash join against the alias dimension, and the
+winner among ambiguous candidates is chosen by a deterministic rule the
+pure-Python oracle shares: max(score), tie-break min(qid).
+
+Because candidate scoring is a pure function of the (norm_surface, alias
+row) pair, the winner is computed ONCE per distinct alias on the tiny
+dimension (driver/broadcast side) rather than once per mention — at
+100 TB the fact table never shuffles for linking.
+
+``score_candidates`` is the vectorized pandas-UDF scoring hook mandated by
+BASELINE.json: Arrow-batched, numpy inside, no per-row Python. With exact
+alias-equality candidates the string-similarity term is 1.0 and the score
+reduces to the popularity prior, which keeps Spark and oracle identical
+while exercising the UDF path end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@F.pandas_udf(DoubleType())
+def score_candidates(norm_surface: pd.Series, norm_alias: pd.Series,
+                     prior: pd.Series) -> pd.Series:
+    """Vectorized (surface, candidate) score: string similarity x prior.
+
+    Similarity term is trivially 1.0 for equality candidates (the join key
+    guarantees it) but the UDF computes it for real so fuzzy candidate
+    generators can reuse the same scorer."""
+    sim = (norm_surface == norm_alias).astype("float64")
+    return sim * prior.astype("float64")
+
+
+def alias_winners(alias_dim: DataFrame) -> DataFrame:
+    """norm_alias -> winning (qid, label, node_type, score).
+
+    Runs on the dimension only (thousands of rows), so the window sort is
+    free; the result broadcasts to every executor."""
+    scored = alias_dim.withColumn(
+        "score",
+        score_candidates(F.col("norm_alias"), F.col("norm_alias"),
+                         F.col("prior")))
+    w = Window.partitionBy("norm_alias").orderBy(
+        F.col("score").desc(), F.col("qid").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("norm_alias", "qid", "label", "node_type", "score"))
+
+
+def link_mentions(mentions: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """Attach the winning entity to every mention (broadcast hash join —
+    verify with .explain(): BroadcastHashJoin, no shuffle on the fact side).
+    """
+    winners = alias_winners(alias_dim)
+    return mentions.join(
+        F.broadcast(winners.withColumnRenamed("norm_alias", "norm_surface")),
+        "norm_surface", "inner",
+    ).select(
+        "conv_id", "turn_idx", "mention_id", "surface", "norm_surface",
+        "start", "end", "qid", "label", "node_type",
+        F.col("score").alias("link_score"),
+    )
+
+
+def candidate_set(mentions: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """All (mention, candidate) pairs with scores — the pre-winner view
+    (useful for recall analysis; reference returned ALL wids per label,
+    db/db_connection.py:217-219 'if more than one we take all of them')."""
+    scored = alias_dim.withColumn(
+        "cand_score",
+        score_candidates(F.col("norm_alias"), F.col("norm_alias"),
+                         F.col("prior")))
+    return mentions.join(
+        F.broadcast(scored.withColumnRenamed("norm_alias", "norm_surface")),
+        "norm_surface", "inner")

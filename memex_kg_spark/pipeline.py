@@ -1,0 +1,124 @@
+"""End-to-end KG-construction pipeline (the flagship plan).
+
+transcripts --window sort--> statements (mapInPandas, Arrow batches)
+            --broadcast join alias winners--> linked statements
+            --union statement-triples + claim-expansion triples-->
+            --per-turn dedup--> triples
+            --distinct ids + broadcast dims + hash-min CC--> nodes
+            --endpoint gating + dedup--> edges
+
+Shuffle inventory at scale (the whole point of the design):
+1. the extraction stage is narrow (no shuffle);
+2. entity linking is broadcast-only (fact side never moves);
+3. the ONLY fact-sized shuffles are the final per-turn triple dedup and
+   the distinct node-id set — both key on high-cardinality composites, so
+   AQE + salting keep reducers balanced even with Zipf-hot entities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.canonicalize import build_edges, build_nodes
+from .operators.extraction import extract_statements, statements_to_mentions
+from .operators.linking import alias_winners, link_mentions
+
+QID_PATTERN = "^Q[0-9]+$"  # reference Q-id predicate, recursive_hops:187,192
+
+
+def load_synth(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        "transcripts": spark.read.parquet(f"{sf_dir}/transcripts.parquet"),
+        "alias_dim": spark.read.parquet(f"{sf_dir}/alias_dim.parquet"),
+        "pred_dim": spark.read.parquet(f"{sf_dir}/pred_dim.parquet"),
+    }
+
+
+def stable_turns(transcripts: DataFrame) -> DataFrame:
+    """Restore the mandated stable (conv_id, turn_idx) order: the raw files
+    arrive with rows shuffled inside each conversation; the per-row
+    invariant 'per-turn text equality under stable turn ordering' is
+    checked against this view (row_number is purely a function of the sort
+    key, so it is identical at any parallelism)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn("turn_seq", F.row_number().over(w))
+
+
+def statement_triples(statements: DataFrame, alias_dim: DataFrame,
+                      pred_dim: DataFrame) -> DataFrame:
+    """(subj, pred, obj) per statement where BOTH slots link (reference P3:
+    null-valued claims are dropped). Three broadcast joins, zero shuffles.
+    """
+    winners = alias_winners(alias_dim)
+    subj_w = F.broadcast(winners.select(
+        F.col("norm_alias").alias("subj_norm"), F.col("qid").alias("subj")))
+    obj_w = F.broadcast(winners.select(
+        F.col("norm_alias").alias("obj_norm"), F.col("qid").alias("obj")))
+    preds = F.broadcast(pred_dim.select("phrase", "pred"))
+    return (statements
+            .withColumn("subj_norm", F.lower("subj_surface"))
+            .withColumn("obj_norm", F.lower("obj_surface"))
+            .join(subj_w, "subj_norm", "inner")
+            .join(obj_w, "obj_norm", "inner")
+            .join(preds, "phrase", "inner")
+            .select("conv_id", "turn_idx", "subj", "pred", "obj",
+                    F.lit("entity").alias("obj_type")))
+
+
+def claim_triples(statements: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """Claim-expansion triples: every entity linked anywhere in a turn
+    contributes its dimension claims (the reference emitted one edge per
+    Wikidata claim when visiting an entity, loop_on_properties +
+    link_father_son). Entity/literal typing via the Q-id regex."""
+    winners = alias_winners(alias_dim)
+    linked = (statements
+              .select("conv_id", "turn_idx",
+                      F.explode(F.array(F.lower("subj_surface"),
+                                        F.lower("obj_surface")))
+                      .alias("norm"))
+              .join(F.broadcast(winners.select(
+                  F.col("norm_alias").alias("norm"), "qid")), "norm")
+              .select("conv_id", "turn_idx", "qid")
+              .distinct())
+    props = (alias_dim
+             .groupBy("qid")
+             .agg(F.first("prop_keys").alias("ks"),
+                  F.first("prop_vals").alias("vs"))
+             .select("qid", F.explode(F.arrays_zip(
+                 F.col("ks").alias("pred"), F.col("vs").alias("obj")))
+                 .alias("kv"))
+             .select("qid", F.col("kv.pred").alias("pred"),
+                     F.col("kv.obj").alias("obj")))
+    return (linked.join(F.broadcast(props), "qid")
+            .select("conv_id", "turn_idx", F.col("qid").alias("subj"),
+                    "pred", "obj",
+                    F.when(F.col("obj").rlike(QID_PATTERN), "entity")
+                    .otherwise("literal").alias("obj_type")))
+
+
+def extract_triples(transcripts: DataFrame, alias_dim: DataFrame,
+                    pred_dim: DataFrame) -> DataFrame:
+    """Full triple set, deduped within each turn (matches the oracle's
+    per-turn set semantics; conv_id+turn_idx in the key keep the dedup
+    shuffle high-cardinality and skew-free)."""
+    statements = extract_statements(transcripts)
+    t = (statement_triples(statements, alias_dim, pred_dim)
+         .unionByName(claim_triples(statements, alias_dim)))
+    return t.dropDuplicates(
+        ["conv_id", "turn_idx", "subj", "pred", "obj", "obj_type"])
+
+
+def build_kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The flagship: transcripts -> mentions, triples, nodes, edges."""
+    d = load_synth(spark, sf_dir)
+    statements = extract_statements(d["transcripts"])
+    mentions = statements_to_mentions(statements, d["alias_dim"])
+    linked = link_mentions(mentions, d["alias_dim"])
+    triples = extract_triples(d["transcripts"], d["alias_dim"],
+                              d["pred_dim"])
+    nodes = build_nodes(triples, d["alias_dim"])
+    edges = build_edges(triples, nodes)
+    return {"statements": statements, "mentions": mentions,
+            "linked_mentions": linked, "triples": triples,
+            "nodes": nodes, "edges": edges}

@@ -1,0 +1,255 @@
+"""KG-pipeline queries with DuckDB oracle SQL twins.
+
+Each Spark callable runs a stage of the KG-construction pipeline over the
+deterministic synthetic transcript corpus (the BASELINE.json-mandated input
+shape); the paired SQL string re-derives the same result in pure ANSI SQL
+over the SAME parquet files, so the driver's row-count/schema/value-hash
+comparison checks real semantics, not a mirror of the implementation.
+
+The driver runs at sf=0.01; callables map the given testdata sf_dir to the
+matching synthetic scale and lazily materialize it (idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..synth.generator import ensure_synth
+from ..synth.vocab import STATEMENT_PATTERN
+from .. import pipeline
+from ..operators.canonicalize import salted_counts
+from ..operators.extraction import extract_statements, statements_to_mentions
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def synth_for(sf_dir: str) -> str:
+    return ensure_synth(sf_of(sf_dir))
+
+
+# --- shared DuckDB CTE text -------------------------------------------------
+
+_PAT = STATEMENT_PATTERN  # no quotes/backslashes by construction
+
+
+def _cte(p: str) -> str:
+    return f"""
+t AS (SELECT conv_id, turn_idx, text
+      FROM read_parquet('{p}/transcripts.parquet')),
+alias_dim AS (SELECT * FROM read_parquet('{p}/alias_dim.parquet')),
+pred_dim AS (SELECT * FROM read_parquet('{p}/pred_dim.parquet')),
+sent AS (SELECT conv_id, turn_idx,
+                unnest(string_split(text, '. ')) AS piece,
+                generate_subscripts(string_split(text, '. '), 1) - 1
+                    AS sent_idx
+         FROM t),
+sent2 AS (SELECT conv_id, turn_idx, sent_idx,
+                 regexp_replace(piece, '\\.$', '') AS sentence,
+                 CAST(coalesce(sum(length(piece) + 2) OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY sent_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS INTEGER) AS sent_off
+          FROM sent),
+stmt AS (SELECT conv_id, turn_idx, sent_idx, sent_off,
+                regexp_extract(sentence, '{_PAT}', 1) AS subj_surface,
+                regexp_extract(sentence, '{_PAT}', 2) AS phrase,
+                regexp_extract(sentence, '{_PAT}', 3) AS obj_surface
+         FROM sent2 WHERE regexp_matches(sentence, '{_PAT}')),
+winners AS (SELECT norm_alias, qid, label, node_type FROM (
+                SELECT norm_alias, qid, label, node_type,
+                       row_number() OVER (PARTITION BY norm_alias
+                           ORDER BY prior DESC, qid ASC) AS rk
+                FROM alias_dim) WHERE rk = 1),
+slots AS (SELECT conv_id, turn_idx, subj_surface AS surface,
+                 sent_off AS pos FROM stmt
+          UNION ALL
+          SELECT conv_id, turn_idx, obj_surface AS surface,
+                 sent_off + length(subj_surface) + length(phrase) + 2 AS pos
+          FROM stmt),
+mentions AS (SELECT conv_id, turn_idx,
+                    CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                        ORDER BY pos, surface) - 1 AS BIGINT) AS mention_id,
+                    surface, lower(surface) AS norm_surface,
+                    CAST(pos AS INTEGER) AS start,
+                    CAST(pos + length(surface) AS INTEGER) AS "end"
+             FROM slots
+             WHERE lower(surface) IN (SELECT norm_alias FROM alias_dim)),
+st AS (SELECT DISTINCT m.conv_id, m.turn_idx, ws.qid AS subj, p.pred,
+              wo.qid AS obj, 'entity' AS obj_type
+       FROM stmt m
+       JOIN winners ws ON lower(m.subj_surface) = ws.norm_alias
+       JOIN winners wo ON lower(m.obj_surface) = wo.norm_alias
+       JOIN pred_dim p ON m.phrase = p.phrase),
+linked AS (SELECT DISTINCT conv_id, turn_idx, qid FROM (
+               SELECT m.conv_id, m.turn_idx, w.qid FROM stmt m
+               JOIN winners w ON lower(m.subj_surface) = w.norm_alias
+               UNION ALL
+               SELECT m.conv_id, m.turn_idx, w.qid FROM stmt m
+               JOIN winners w ON lower(m.obj_surface) = w.norm_alias)),
+props AS (SELECT qid, unnest(prop_keys) AS pred, unnest(prop_vals) AS obj
+          FROM (SELECT DISTINCT qid, prop_keys, prop_vals FROM alias_dim)),
+claim AS (SELECT DISTINCT l.conv_id, l.turn_idx, l.qid AS subj, pr.pred,
+                 pr.obj,
+                 CASE WHEN regexp_matches(pr.obj, '^Q[0-9]+$')
+                      THEN 'entity' ELSE 'literal' END AS obj_type
+          FROM linked l JOIN props pr USING (qid)),
+triples AS (SELECT DISTINCT * FROM
+                (SELECT * FROM st UNION ALL SELECT * FROM claim)),
+aedges AS (SELECT qid AS a, root AS b FROM (
+               SELECT qid, min(qid) OVER (PARTITION BY norm_alias) AS root
+               FROM alias_dim) WHERE qid <> root),
+sym AS (SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM aedges
+            UNION ALL SELECT b AS a, a AS b FROM aedges)),
+ids AS (SELECT DISTINCT qid FROM alias_dim),
+reach(x, y) AS (SELECT qid, qid FROM ids
+                UNION
+                SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
+canon AS (SELECT x AS qid, min(y) AS canonical_id FROM reach GROUP BY x),
+node_ids AS (SELECT DISTINCT qid FROM (
+                 SELECT subj AS qid FROM triples
+                 UNION ALL
+                 SELECT obj AS qid FROM triples WHERE obj_type = 'entity')),
+dim AS (SELECT DISTINCT qid, label, node_type, lat, lon FROM alias_dim),
+nodes AS (SELECT d.qid, d.label, d.node_type, d.lat, d.lon, c.canonical_id
+          FROM node_ids JOIN dim d USING (qid) JOIN canon c USING (qid)),
+edges AS (SELECT DISTINCT subj AS src, pred, obj AS dst FROM triples
+          WHERE obj_type = 'entity'
+            AND subj IN (SELECT qid FROM node_ids)
+            AND obj IN (SELECT qid FROM node_ids))
+"""
+
+
+def _wrap(p: str, body: str) -> str:
+    return "WITH RECURSIVE " + _cte(p) + "\n" + body
+
+
+# --- Spark callables --------------------------------------------------------
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    return statements_to_mentions(
+        extract_statements(d["transcripts"]), d["alias_dim"])
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    return pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"])
+
+
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"])
+    from ..operators.canonicalize import build_nodes
+    return build_nodes(triples, d["alias_dim"])
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"])
+    from ..operators.canonicalize import build_edges, build_nodes
+    nodes = build_nodes(triples, d["alias_dim"])
+    return build_edges(triples, nodes)
+
+
+def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the per-row invariant view — stable (conv_id, turn_idx) ordering
+    with a text digest; row-for-row comparable at any parallelism."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    return (pipeline.stable_turns(d["transcripts"])
+            .select("conv_id", "turn_idx",
+                    F.col("turn_seq").cast("long").alias("turn_seq"),
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))
+                    .alias("text_md5")))
+
+
+def q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analogue: per-predicate triple counts (groupBy + count + sort)."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"])
+    return (triples.groupBy("pred")
+            .agg(F.count("*").alias("n_triples"))
+            .orderBy("pred"))
+
+
+def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/skew path: two-phase salted count per normalized surface form —
+    must equal the plain GROUP BY count the oracle computes."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    mentions = statements_to_mentions(
+        extract_statements(d["transcripts"]), d["alias_dim"])
+    return salted_counts(mentions, "norm_surface", out="n_mentions")
+
+
+def q_kg_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-style top-k over the linked-mention counts (Zipf head)."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    from ..operators.linking import link_mentions
+    mentions = statements_to_mentions(
+        extract_statements(d["transcripts"]), d["alias_dim"])
+    linked = link_mentions(mentions, d["alias_dim"])
+    return (linked.groupBy("qid")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("qid").asc())
+            .limit(20))
+
+
+# --- registry ---------------------------------------------------------------
+
+
+def kg_queries() -> dict:
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_turn_order": q_kg_turn_order,
+        "kg_pred_counts": q_kg_pred_counts,
+        "kg_mention_counts_salted": q_kg_mention_counts_salted,
+        "kg_hot_entities": q_kg_hot_entities,
+    }
+
+
+def kg_oracle_sql(sf: float = 0.01) -> dict:
+    from ..synth.generator import synth_dir
+    p = synth_dir(sf)
+    return {
+        "kg_mentions": _wrap(p, """SELECT conv_id, turn_idx, mention_id,
+            surface, norm_surface, "start", "end" FROM mentions"""),
+        "kg_triples": _wrap(
+            p, "SELECT conv_id, turn_idx, subj, pred, obj, obj_type "
+               "FROM triples"),
+        "kg_nodes": _wrap(
+            p, "SELECT qid, label, node_type, lat, lon, canonical_id "
+               "FROM nodes"),
+        "kg_edges": _wrap(p, "SELECT src, pred, dst FROM edges"),
+        "kg_turn_order": f"""
+            SELECT conv_id, turn_idx,
+                   row_number() OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx) AS turn_seq,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM read_parquet('{p}/transcripts.parquet')""",
+        "kg_pred_counts": _wrap(
+            p, "SELECT pred, count(*) AS n_triples FROM triples "
+               "GROUP BY pred ORDER BY pred"),
+        "kg_mention_counts_salted": _wrap(
+            p, "SELECT norm_surface, count(*) AS n_mentions FROM mentions "
+               "GROUP BY norm_surface"),
+        "kg_hot_entities": _wrap(
+            p, """SELECT w.qid, count(*) AS n
+                  FROM mentions m JOIN winners w
+                    ON m.norm_surface = w.norm_alias
+                  GROUP BY w.qid ORDER BY n DESC, qid ASC LIMIT 20"""),
+    }

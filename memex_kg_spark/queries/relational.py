@@ -1,0 +1,443 @@
+"""Relational operator queries over the driver testdata tables, each with a
+DuckDB oracle twin (SURVEY.md §2 rows J*, A*, W*, T*, U*, F*, P*).
+
+Conventions for hash-stable oracle comparison:
+- money aggregates go through DECIMAL(18,2) so sums are exact and
+  order-independent (double sums are not associative);
+- every computed column is aliased identically on both sides;
+- timestamps are projected as DATE/strings, never raw (session TZ pinned
+  to UTC anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import haversine_km
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A: aggregations ---------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (groupBy + multi-agg + sort).
+    Decimal-typed sums keep the value hash exact across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+                 F.sum(cents(F.col("l_extendedprice")))
+                 .alias("sum_base_price_c"),
+                 F.sum(cents(F.col("l_extendedprice")
+                             * (F.lit(1.0) - F.col("l_discount"))))
+                 .alias("sum_disc_price_c"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_minmax_ids(spark, sf_dir):
+    """A2: MAX-based id assignment (reference get_last_mid,
+    csv_reader.py:41-47): max key + dense row_number continuation."""
+    c = _t(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey").alias("mx"))
+    w = Window.orderBy("c_name", "c_custkey")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING")
+    return (seg.crossJoin(F.broadcast(mx))
+            .withColumn("new_id", F.row_number().over(w) + F.col("mx"))
+            .select("c_custkey", "c_name", F.col("new_id").cast("long")
+                    .alias("new_id"))
+            .orderBy("new_id"))
+
+
+SQL_MINMAX = """
+SELECT c_custkey, c_name,
+       row_number() OVER (ORDER BY c_name, c_custkey)
+           + (SELECT max(c_custkey) FROM customer) AS new_id
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY new_id
+"""
+
+
+# --- J: joins ----------------------------------------------------------------
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J1: fact-to-dimension broadcast hash joins (orders->customer->nation
+    ->region), revenue by region/priority. The fact side never shuffles for
+    the join (verify: BroadcastHashJoin in .explain)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_c"))
+            .orderBy("region_name", "priority"))
+
+
+SQL_BROADCAST_JOIN = """
+SELECT r_name AS region_name, o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY region_name, priority
+ORDER BY region_name, priority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J4: existence anti-join (reference already_present dedup gate) —
+    customers that never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J5-style endpoint-existence semi-join — parts that ship."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (p.join(li.select(F.col("l_partkey").alias("p_partkey")),
+                   "p_partkey", "left_semi")
+            .select("p_partkey", "p_name")
+            .orderBy("p_partkey"))
+
+
+SQL_SEMI_JOIN = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey
+"""
+
+
+def q_explode_membership_join(spark, sf_dir):
+    """J2: array-membership join via explode (reference match_with_wikidata
+    `b.wid IN a.wids`): explode p_name tokens, join to a token dimension
+    derived from p_type words, count parts per token."""
+    p = _t(spark, sf_dir, "part")
+    toks = (p.select(F.explode(F.split("p_name", " ")).alias("token"),
+                     "p_partkey"))
+    dim = (p.select(F.explode(F.split("p_type", " ")).alias("token"))
+           .distinct())
+    return (toks.join(F.broadcast(dim), "token")
+            .groupBy("token")
+            .agg(F.countDistinct("p_partkey").alias("n_parts"))
+            .orderBy("token"))
+
+
+SQL_EXPLODE_JOIN = """
+WITH toks AS (
+    SELECT unnest(string_split(p_name, ' ')) AS token, p_partkey FROM part),
+dim AS (SELECT DISTINCT unnest(string_split(p_type, ' ')) AS token FROM part)
+SELECT t.token, count(DISTINCT t.p_partkey) AS n_parts
+FROM toks t JOIN dim USING (token)
+GROUP BY t.token ORDER BY t.token
+"""
+
+
+def q_levenshtein_theta_join(spark, sf_dir):
+    """J6/J7/F10: theta similarity join with levenshteinSimilarity > 0.3
+    (reference connect_story_by_textual_sim, db_connection.py:382-404);
+    tiny sides -> broadcast cross join, similarity as an exact fraction."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("a"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("b"))
+    pairs = n.crossJoin(F.broadcast(s))
+    sim = (F.lit(1.0) - F.levenshtein("a", "b")
+           / F.greatest(F.length("a"), F.length("b")))
+    return (pairs.withColumn("similarity",
+                             F.round(sim, 6))
+            .filter(F.col("similarity") > 0.3)
+            .orderBy("a", "b"))
+
+
+SQL_LEV_JOIN = """
+SELECT n_name AS a, s_name AS b,
+       round(1.0 - levenshtein(n_name, s_name) /
+             greatest(length(n_name), length(s_name)), 6) AS similarity
+FROM nation, supplier
+WHERE 1.0 - levenshtein(n_name, s_name) /
+      greatest(length(n_name), length(s_name)) > 0.3
+ORDER BY a, b
+"""
+
+
+# --- W: windows ---------------------------------------------------------------
+
+
+def q_window_order_rank(spark, sf_dir):
+    """W1/W2: per-customer order sequencing (row_number + running decimal
+    sum under the stable (custkey, date, key) ordering)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("order_seq", F.row_number().over(w))
+            .withColumn("running_spend_c",
+                        F.sum(F.round(F.col("o_totalprice") * 100)
+                              .cast("long"))
+                        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("o_custkey", "o_orderkey", "order_seq",
+                    "running_spend_c")
+            .orderBy("o_custkey", "order_seq"))
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running_spend_c
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+"""
+
+
+# --- T: top-k -----------------------------------------------------------------
+
+
+def q_topk_orders(spark, sf_dir):
+    """T1: ORDER BY + LIMIT pushed into TakeOrderedAndProject (unlike the
+    reference's Python-side slice, db/db_search.py:237)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey",
+                     F.col("o_totalprice").alias("price"))
+            .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+            .limit(25))
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice AS price
+FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority class (window rank + filter — the
+    distributed form of per-seed top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_orderpriority", "rk", "o_orderkey",
+                    F.col("o_totalprice").alias("price"))
+            .orderBy("o_orderpriority", "rk"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rk, o_orderkey, price FROM (
+    SELECT o_orderpriority, o_orderkey,
+           o_totalprice AS price,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders) WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
+# --- U: set operations ---------------------------------------------------------
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1: union of two overlapping filtered scans + dedup on the key
+    (reference Europeana lat/lon-scan U keyword-scan, collisions collapsed
+    by the id constraint)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy(
+        "o_orderkey")
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT o_orderkey FROM (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+    UNION ALL
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY o_orderkey
+"""
+
+
+def q_except_diff(spark, sf_dir):
+    """U3: set difference (candidate minus materialized, the resume
+    anti-join shape)."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey")
+    return big.exceptAll(urgent).groupBy("o_custkey").agg(
+        F.count("*").alias("n")).orderBy("o_custkey")
+
+
+SQL_EXCEPT_DIFF = """
+SELECT o_custkey, count(*) AS n FROM (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- F/P: scalar functions ------------------------------------------------------
+
+
+def q_scalar_functions(spark, sf_dir):
+    """P2/P7/F4/F12 parity in one projection: md5-derived commonsMedia URL
+    (recursive_hops_ingestion.py:81-89), P7 label cleaning, URL tail
+    extraction (db_connection.py:232-239)."""
+    p = _t(spark, sf_dir, "part")
+    fn = F.regexp_replace(F.col("p_name"), " ", "_")
+    h = F.md5(fn)
+    url = F.concat(F.lit("https://upload.wikimedia.org/wikipedia/commons/"),
+                   F.substring(h, 1, 1), F.lit("/"),
+                   F.substring(h, 1, 2), F.lit("/"), fn)
+    cleaned = F.regexp_replace(F.col("p_type"), "[^a-zA-Z0-9 \n\\.]", "")
+    cleaned = F.regexp_replace(cleaned, " ", "_")
+    cleaned = F.regexp_replace(cleaned, "3", "three")
+    tail = F.element_at(F.split(url, "/"), -1)
+    return (p.select("p_partkey", url.alias("image_url"),
+                     cleaned.alias("cleaned_type"),
+                     tail.alias("url_tail"))
+            .orderBy("p_partkey"))
+
+
+SQL_SCALAR_FUNCS = """
+SELECT p_partkey,
+       'https://upload.wikimedia.org/wikipedia/commons/' ||
+           substr(md5(replace(p_name, ' ', '_')), 1, 1) || '/' ||
+           substr(md5(replace(p_name, ' ', '_')), 1, 2) || '/' ||
+           replace(p_name, ' ', '_') AS image_url,
+       replace(replace(regexp_replace(p_type, '[^a-zA-Z0-9 \n.]', '', 'g'),
+               ' ', '_'), '3', 'three') AS cleaned_type,
+       list_extract(string_split(
+           'https://upload.wikimedia.org/wikipedia/commons/' ||
+           substr(md5(replace(p_name, ' ', '_')), 1, 1) || '/' ||
+           substr(md5(replace(p_name, ' ', '_')), 1, 2) || '/' ||
+           replace(p_name, ' ', '_'), '/'), -1) AS url_tail
+FROM part ORDER BY p_partkey
+"""
+
+
+# --- geo (J3/F5/T1) -------------------------------------------------------------
+
+
+def _customer_geo(spark, sf_dir):
+    """Deterministic synthetic coordinates derived from c_custkey (integer
+    arithmetic -> bit-identical in both engines)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 36000) / 100.0 - 180.0).alias("lon"))
+
+_GEO_SQL = """
+geo AS (SELECT c_custkey,
+               (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (c_custkey * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM customer)
+"""
+
+
+def q_geo_topk(spark, sf_dir):
+    """T1: k nearest customers to a fixed point, haversine distance
+    (reference get_top_closest, db/db_search.py:261-288); distance rounded
+    to 1e-4 km for cross-engine hash stability."""
+    g = _customer_geo(spark, sf_dir)
+    d = haversine_km(F.lit(41.9), F.lit(12.5), F.col("lat"), F.col("lon"))
+    return (g.withColumn("dist_km", F.round(d, 4))
+            .filter(F.col("dist_km") < 5000)
+            .orderBy("dist_km", "c_custkey")
+            .limit(50)
+            .select("c_custkey", "dist_km"))
+
+
+SQL_GEO_TOPK = """
+WITH """ + _GEO_SQL + """
+SELECT c_custkey,
+       round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(lat - 41.9) / 2) ^ 2 +
+           cos(radians(41.9)) * cos(radians(lat)) *
+           sin(radians(lon - 12.5) / 2) ^ 2)), 4) AS dist_km
+FROM geo
+WHERE round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(lat - 41.9) / 2) ^ 2 +
+           cos(radians(41.9)) * cos(radians(lat)) *
+           sin(radians(lon - 12.5) / 2) ^ 2)), 4) < 5000
+ORDER BY dist_km, c_custkey LIMIT 50
+"""
+
+
+def relational_queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "minmax_ids": q_minmax_ids,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "explode_membership_join": q_explode_membership_join,
+        "levenshtein_theta_join": q_levenshtein_theta_join,
+        "window_order_rank": q_window_order_rank,
+        "topk_orders": q_topk_orders,
+        "topk_per_group": q_topk_per_group,
+        "union_dedup": q_union_dedup,
+        "except_diff": q_except_diff,
+        "scalar_functions": q_scalar_functions,
+        "geo_topk": q_geo_topk,
+    }
+
+
+def relational_oracle_sql() -> dict:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "minmax_ids": SQL_MINMAX,
+        "broadcast_dim_join": SQL_BROADCAST_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "semi_join": SQL_SEMI_JOIN,
+        "explode_membership_join": SQL_EXPLODE_JOIN,
+        "levenshtein_theta_join": SQL_LEV_JOIN,
+        "window_order_rank": SQL_WINDOW_RANK,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "union_dedup": SQL_UNION_DEDUP,
+        "except_diff": SQL_EXCEPT_DIFF,
+        "scalar_functions": SQL_SCALAR_FUNCS,
+        "geo_topk": SQL_GEO_TOPK,
+    }
