@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Benchmark: KG-construction throughput at two parallelism levels.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_wall", "value": <sec at local[CPUS]>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": <sf>,
+   "triples_per_sec": ..., "scaling": {...N vs 4N evidence...}}
+
+The north_rule's two-cluster-size criterion is evidenced by running the
+SAME job at local[N] and local[4N] (sandbox stand-in for N vs 4N
+executors) on the SAME input; efficiency = (tput_4N / tput_N) / 4.
+Each level runs in its OWN subprocess (one JVM per "cluster size", the
+spark-submit analogue — also avoids PySpark's flaky in-process session
+restarts). Results are appended to BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_SF_MULT (default 10: testdata sf0.1 -> synthetic sf1.0,
+     ~630k turns, so the measurement is compute- not overhead-bound).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder
+            .master(f"local[{cores}]")
+            .appName(f"memex-kg-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def noop_write(df) -> None:
+    """Force full materialization without sink IO skewing the measure."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_pipeline(spark, synth_path: str) -> dict:
+    """Run the flagship KG build end-to-end; per-stage wall seconds."""
+    from memex_kg_spark import pipeline
+    from memex_kg_spark.operators.canonicalize import build_edges, build_nodes
+    from memex_kg_spark.operators.extraction import (
+        extract_statements, statements_to_mentions)
+    from memex_kg_spark.operators.linking import link_mentions
+
+    d = pipeline.load_synth(spark, synth_path)
+    out: dict = {}
+
+    t0 = time.time()
+    statements = extract_statements(d["transcripts"])
+    mentions = statements_to_mentions(statements, d["alias_dim"])
+    noop_write(mentions)
+    out["extract_mentions"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    noop_write(link_mentions(mentions, d["alias_dim"]))
+    out["link_mentions"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # persist at the fan-out: triples feed nodes AND edges (in production
+    # this is the materialized triples table; noop+persist is the
+    # IO-neutral stand-in)
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"]).persist()
+    n_triples = triples.count()
+    out["triples"] = round(time.time() - t0, 3)
+    out["n_triples"] = n_triples
+
+    t0 = time.time()
+    nodes = build_nodes(triples, d["alias_dim"]).persist()
+    edges = build_edges(triples, nodes)
+    noop_write(nodes)
+    noop_write(edges)
+    out["nodes_edges"] = round(time.time() - t0, 3)
+    triples.unpersist()
+    nodes.unpersist()
+
+    out["pipeline_total"] = round(
+        out["extract_mentions"] + out["link_mentions"] + out["triples"]
+        + out["nodes_edges"], 3)
+    return out
+
+
+def run_aux_queries(spark, sf_dir: str) -> dict:
+    """Representative operator queries over the driver testdata at sf."""
+    import __spark_entry__ as mod
+
+    names = ["pricing_summary", "broadcast_dim_join", "window_order_rank",
+             "topk_per_group", "explode_membership_join", "geo_topk"]
+    qs = mod.queries()
+    out = {}
+    for n in names:
+        if n not in qs:
+            continue
+        t0 = time.time()
+        noop_write(qs[n](spark, sf_dir))
+        out[n] = round(time.time() - t0, 3)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# subprocess stages
+# ---------------------------------------------------------------------------
+
+
+def stage_gen(bench_sf: float, cpus: int) -> None:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from memex_kg_spark.synth.spark_gen import ensure_synth_spark
+    path = ensure_synth_spark(spark, bench_sf)
+    print("SYNTH_PATH=" + path)
+    spark.stop()
+
+
+def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool
+              ) -> None:
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    stages = run_pipeline(spark, synth_path)
+    if with_aux:
+        stages["_aux"] = run_aux_queries(spark, sf_dir)
+    print("STAGES_JSON=" + json.dumps(stages))
+    spark.stop()
+
+
+def _sub(args: list[str]) -> str:
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                       capture_output=True, text=True, cwd=REPO)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
+        raise RuntimeError(f"bench subprocess failed: {args}")
+    return r.stdout
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = float(os.environ.get("BENCH_SF_MULT", "10"))
+
+    import re as _re
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else 0.1
+    bench_sf = round(sf * mult, 6)
+
+    out = _sub(["--stage", "gen", "--sf", str(bench_sf),
+                "--cores", str(cpus)])
+    synth_path = [ln for ln in out.splitlines()
+                  if ln.startswith("SYNTH_PATH=")][-1].split("=", 1)[1]
+
+    lo, hi = max(1, cpus // 4), cpus  # N and 4N
+    results = {}
+    for cores in (lo, hi):
+        out = _sub(["--stage", "run", "--cores", str(cores),
+                    "--synth", synth_path, "--sf-dir", sf_dir]
+                   + (["--aux"] if cores == hi else []))
+        stages = json.loads(
+            [ln for ln in out.splitlines()
+             if ln.startswith("STAGES_JSON=")][-1].split("=", 1)[1])
+        results[cores] = stages
+
+    aux = results[hi].pop("_aux", {})
+    n_triples = results[hi]["n_triples"]
+    tput = {c: round(n_triples / results[c]["pipeline_total"], 1)
+            for c in (lo, hi)}
+    efficiency = round((tput[hi] / tput[lo]) / (hi / lo), 3)
+
+    queries = {f"kg_{k}": v for k, v in results[hi].items()
+               if k != "n_triples"}
+    queries.update(aux)
+
+    line = {
+        "metric": "kg_pipeline_wall",
+        "value": results[hi]["pipeline_total"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_corpus_sf": bench_sf,
+        "n_triples": n_triples,
+        "triples_per_sec": tput[hi],
+        "scaling": {
+            "cores_lo": lo, "cores_hi": hi,
+            "wall_lo_sec": results[lo]["pipeline_total"],
+            "wall_hi_sec": results[hi]["pipeline_total"],
+            "tput_lo": tput[lo], "tput_hi": tput[hi],
+            "efficiency": efficiency,
+        },
+    }
+    _write_bench_md(line)
+    print(json.dumps(line))
+
+
+def _write_bench_md(line: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    s = line["scaling"]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## bench @ {time.strftime('%Y-%m-%d %H:%M:%S')} "
+            f"(corpus sf={line['bench_corpus_sf']}, "
+            f"{line['n_triples']} triples)\n\n"
+            f"| cores | wall (s) | triples/sec |\n|---|---|---|\n"
+            f"| local[{s['cores_lo']}] (N) | {s['wall_lo_sec']} | "
+            f"{s['tput_lo']} |\n"
+            f"| local[{s['cores_hi']}] (4N) | {s['wall_hi_sec']} | "
+            f"{s['tput_hi']} |\n\n"
+            f"scaling efficiency (N->4N) = (tput_4N / tput_N) / (4N/N) = "
+            f"**{s['efficiency']}** (target >= 0.8)\n\n"
+            f"per-stage (local[{s['cores_hi']}]): "
+            f"{json.dumps(line['queries'])}\n")
+
+
+if __name__ == "__main__":
+    if "--stage" in sys.argv:
+        import argparse
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--stage", required=True)
+        ap.add_argument("--sf", type=float, default=0.1)
+        ap.add_argument("--cores", type=int, default=8)
+        ap.add_argument("--synth", default="")
+        ap.add_argument("--sf-dir", default="")
+        ap.add_argument("--aux", action="store_true")
+        a = ap.parse_args()
+        if a.stage == "gen":
+            stage_gen(a.sf, a.cores)
+        else:
+            stage_run(a.cores, a.synth, a.sf_dir, a.aux)
+    else:
+        main()

@@ -26,12 +26,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_THRESHOLD = 2_000_000  # edges; below this a driver-side
+# union-find beats a distributed loop by orders of magnitude (each
+# distributed iteration costs a shuffle + action; a dimension-sized graph
+# is one collect). Mirrors the reference's own judgment call of keeping
+# Dominant-Set clustering driver-side on small subgraphs
+# (services/app.py:342-392).
+
+
+def connected_components_driver(edges: DataFrame, src: str = "src",
+                                dst: str = "dst") -> DataFrame:
+    """Union-find on the driver for dimension-sized graphs; identical
+    output contract to the distributed variant."""
+    pairs = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp = {x: find(x) for x in list(parent)}
+    spark = edges.sparkSession
+    if not comp:
+        return spark.createDataFrame([], "id string, component string")
+    return spark.createDataFrame(
+        [(k, v) for k, v in comp.items()], ["id", "component"])
+
+
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         force_distributed: bool = False) -> DataFrame:
     """Return (id, component) where component = min id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
+    Size-aware: small graphs short-circuit to driver union-find; large
+    graphs run the iterative hash-min loop below.
     """
+    if not force_distributed:
+        n = edges.limit(DRIVER_CC_THRESHOLD + 1).count()
+        if n <= DRIVER_CC_THRESHOLD:
+            return connected_components_driver(edges, src, dst)
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .filter(F.col("a") != F.col("b"))
@@ -78,9 +118,23 @@ def alias_component_edges(alias_dim: DataFrame) -> DataFrame:
 
 def canonical_map(alias_dim: DataFrame) -> DataFrame:
     """qid -> canonical_id (min qid of the shares-an-alias component);
-    singleton entities map to themselves."""
+    singleton entities map to themselves. Memoized per logical plan ON the
+    owning SparkSession — the dimension is computed once per run, not once
+    per consumer, and a memoized localCheckpoint can never leak into a
+    different session."""
+    sess = alias_dim.sparkSession
+    memo = getattr(sess, "_kg_canon_memo", None)
+    if memo is None:
+        memo = {}
+        sess._kg_canon_memo = memo
+    key = alias_dim.semanticHash()
+    if key in memo:
+        return memo[key]
     cc = connected_components(alias_component_edges(alias_dim))
     all_qids = alias_dim.select("qid").distinct()
-    return (all_qids.join(cc.withColumnRenamed("id", "qid"), "qid", "left")
-            .select("qid",
-                    F.coalesce("component", "qid").alias("canonical_id")))
+    out = (all_qids.join(cc.withColumnRenamed("id", "qid"), "qid", "left")
+           .select("qid", F.coalesce("component", "qid")
+                   .alias("canonical_id"))
+           .localCheckpoint())
+    memo[key] = out
+    return out

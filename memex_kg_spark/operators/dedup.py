@@ -1,0 +1,167 @@
+"""Document deduplication suite (training-data-pipeline operators).
+
+Four tiers, each a different cost/recall point at 100 TB:
+- exact: hash-groupBy on a content digest (one shuffle on the digest —
+  uniform keys, no skew);
+- n-gram Jaccard: shingle-join candidate generation + exact verify
+  (quadratic only within shingle buckets);
+- MinHash + LSH banding: constant-size signatures, band-bucket join —
+  the scale path (candidates only form when a band collides);
+- SimHash: 64-bit fingerprint, near-dup = small hamming distance.
+
+All hash functions are md5-derived so Spark and DuckDB (and any other
+engine) compute bit-identical values — no engine-private hash() anywhere
+in a correctness-relevant path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), TOKEN_SPLIT)
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (posexplode + window-free
+    slide via transform over token indexes)."""
+    toks = df.select(id_col, _tokens(F.col(text_col)).alias("t"))
+    sh = toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, n))
+        )).alias("shingle"))
+    return sh.filter(F.col("shingle") != "").distinct()
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 digest groupBy; canonical = min id (first-wins made
+    deterministic, same rule as entity canonicalization)."""
+    h = df.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+    w = Window.partitionBy("digest")
+    return (h.withColumn("canonical_id", F.min(id_col).over(w))
+            .withColumn("group_size", F.count("*").over(w))
+            .filter(F.col("group_size") > 1)
+            .select(id_col, "digest", "canonical_id", "group_size"))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: candidates = docs sharing >=1
+    shingle; J = |inter| / (|A| + |B| - |inter|) computed from counts
+    (no set materialization per pair)."""
+    sh = word_shingles(df, text_col, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("a_id"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"),
+                      F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb")
+                                   - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def _md5_hash64(col, seed: int):
+    """Deterministic 32-bit-ish hash from md5 (engine-portable)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)),
+                              1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 16,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3) -> DataFrame:
+    """MinHash: sig_i(doc) = min over shingles of h_i(shingle).
+    One shuffle (groupBy doc, seed); signature size is constant, so this
+    is the operator that makes near-dup feasible at corpus scale."""
+    sh = word_shingles(df, text_col, n, id_col)
+    seeds = df.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("seed"))
+    hashed = (sh.crossJoin(F.broadcast(seeds))
+              .withColumn("hv", _md5_hash64(
+                  F.concat(F.col("seed").cast("string"), F.lit(":"),
+                           F.col("shingle")), 7)))
+    return (hashed.groupBy(id_col, "seed")
+            .agg(F.min("hv").alias("minhash")))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 16, band_size: int = 4,
+                      threshold: float = 0.4, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """MinHash LSH banding -> candidate pairs -> exact Jaccard verify.
+    band key = md5 of the band's concatenated minhashes; docs join only on
+    colliding bands (the b*r banding scheme; P(collide) ~ 1-(1-J^r)^b)."""
+    sig = minhash_signatures(df, n_hashes, text_col, id_col, n)
+    banded = (sig.withColumn("band", F.floor(F.col("seed") / band_size)
+                             .cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws(",", F.sort_array(
+                  F.collect_list(F.concat_ws(":", F.col("seed"),
+                                             F.col("minhash"))))))
+                   .alias("band_key")))
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    cands = (a.join(b, ["band", "band_key"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id").distinct())
+    exact = jaccard_pairs(df, 0.0, text_col, id_col, n)
+    return (cands.join(exact, ["a_id", "b_id"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: bit j of the fingerprint = sign of the sum of
+    (+1/-1) votes of token-hash bit j. Kept at <=62 bits (signed long).
+    Pure built-ins: explode tokens -> bit explode via sequence -> two
+    shuffles keyed by (doc, bit) then doc."""
+    toks = (df.select(id_col, F.explode(_tokens(F.col(text_col)))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = toks.withColumn("hv", _md5_hash64(F.col("tok"), 13))
+    bit_dim = df.sparkSession.range(bits).select(
+        F.col("id").cast("int").alias("bit"))
+    bitsdf = (h.crossJoin(F.broadcast(bit_dim))
+              .withColumn("vote",
+                          F.when(F.expr("shiftright(hv, bit) % 2 = 1"), 1)
+                          .otherwise(-1)))
+    votes = (bitsdf.groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
+    return (votes.groupBy(id_col)
+            .agg(F.sum(F.when(F.col("v") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("simhash")))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. The all-pairs compare
+    here is corpus-size-bounded by upstream filters; at scale, band the
+    fingerprint into 4 chunks and equi-join on any-chunk-equal first."""
+    s = simhash(df, text_col, id_col, bits)
+    a = s.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("ha"))
+    b = s.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("hb"))
+    return (a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))

@@ -1,0 +1,130 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Two paths, per the scale doctrine:
+- brute-force cosine top-k with pure built-ins (``zip_with`` +
+  ``aggregate`` higher-order functions -> whole-stage codegen, no Python);
+  correct baseline at any k, O(n) scans that parallelize trivially;
+- LSH-bucketed candidate generation (random-hyperplane signatures via a
+  vectorized pandas UDF over Arrow batches) for the 100 TB path: the
+  bucket equi-join replaces the all-pairs scan, turning O(n^2) into
+  per-bucket work, with multi-probe (hamming-adjacent buckets) recall.
+
+The reference's analogues: cosine/euclidean GDS calls in search
+(db/db_search.py:72-150) and w2v embedding storage (db/models.py:30-47).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array columns, accumulated in
+    double (JVM-side fold — deterministic left-to-right order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    """F9 parity (gds.alpha.similarity.euclideanDistance)."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(x.cast("double")
+                                            - y.cast("double"), 2)),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def brute_topk(emb: DataFrame, query_vec: list[float], k: int,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Baseline ANN: exact cosine top-k against a literal query vector.
+    Plans as scan -> project (codegen) -> TakeOrderedAndProject; the scan
+    parallelizes across partitions, the top-k needs no global sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (emb.select(id_col,
+                       F.round(cosine(F.col(vec_col), q), 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 16,
+                   seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per row (vectorized pandas UDF:
+    one matmul per Arrow batch). Deterministic given (dim, n_planes,
+    seed) — any executor computes identical buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())  # (batch, dim)
+        signs = (m.astype(np.float64) @ planes.T) > 0  # (batch, planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return emb.withColumn("bucket", bucket(F.col(vec_col)))
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float], k: int,
+             n_planes: int = 12, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding", probe_bits: int = 1) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket plus all buckets
+    within hamming distance ``probe_bits`` (multi-probe). At scale the
+    bucket filter prunes the scan via a partition-prunable equi-filter."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = int(((np.asarray(query_vec, dtype=np.float64) @ planes.T) > 0)
+               .astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    from itertools import combinations
+    probes = [qsig]
+    for width in range(1, probe_bits + 1):
+        probes += [qsig ^ sum(1 << i for i in flip)
+                   for flip in combinations(range(n_planes), width)]
+    sigs = lsh_signatures(emb, dim, n_planes, seed, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (sigs.filter(F.col("bucket").isin(probes))
+            .select(id_col,
+                    F.round(cosine(F.col(vec_col), q), 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def pairwise_topk_per_item(emb: DataFrame, k: int, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """All-pairs k-NN via LSH bucket self-join (the scale path for
+    embedding-cosine near-dup): pairs only form inside a bucket."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    sigs = lsh_signatures(emb, dim_row["d"], n_planes, seed, vec_col)
+    a = sigs.select(F.col(id_col).alias("a_id"),
+                    F.col(vec_col).alias("a_vec"), "bucket")
+    b = sigs.select(F.col(id_col).alias("b_id"),
+                    F.col(vec_col).alias("b_vec"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .withColumn("sim", F.round(cosine(F.col("a_vec"),
+                                               F.col("b_vec")), 4)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("a_id").orderBy(F.col("sim").desc(),
+                                           F.col("b_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("a_id", "b_id", "sim", "rk"))

@@ -1,0 +1,261 @@
+"""Vector-similarity + deduplication queries with DuckDB oracle twins.
+
+Engine-portable hashing everywhere (md5-derived), integer or rounded
+outputs, deterministic tie-breaks — so the value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents + a shifted-id copy: guarantees exact-dup groups so the
+    dedup path is exercised (the raw corpus may have no exact dups)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+_DOCS_DUP_SQL = """
+docs2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+"""
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(t[i + 1:i + 3], ' ') AS shingle
+       FROM (SELECT doc_id, t,
+                    unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+             FROM toks)
+       WHERE array_to_string(t[i + 1:i + 3], ' ') <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY a_id, b_id),
+jac AS (SELECT i.a_id, i.b_id,
+               round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id)
+"""
+
+
+# --- queries -----------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline;
+    T2 analogue of the reference's radius+cosine search)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.brute_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10)
+
+
+SQL_ANN_BRUTE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id,
+                 CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(q.qv) AS DOUBLE) AS y
+          FROM embeddings e, q WHERE e.vec_id <> 0),
+sums AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim
+FROM sums ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (multi-probe): the scale path. Rows-only driver
+    check; recall-vs-brute-force is asserted in pytest."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10,
+                      n_planes=8, probe_bits=2)
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """Exact top-5 neighbor label vote for the first 20 vectors (the
+    embedding-cosine near-dup / classification shape). All-pairs cosine
+    restricted to a 20-row probe side -> broadcast-able."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    cands = emb.select(F.col("vec_id").alias("b_id"),
+                       F.col("embedding").alias("b_vec"), "label")
+    pairs = (F.broadcast(probes).crossJoin(cands)
+             .filter(F.col("a_id") != F.col("b_id"))
+             .withColumn("sim", F.round(S.cosine(F.col("a_vec"),
+                                                 F.col("b_vec")), 4)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("a_id").orderBy(F.col("sim").desc(),
+                                           F.col("b_id").asc())
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5)
+    return (top.groupBy("a_id", "label")
+            .agg(F.count("*").alias("votes"))
+            .orderBy("a_id", F.col("votes").desc(), "label"))
+
+
+SQL_KNN_VOTE = """
+WITH pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label,
+           CAST(unnest(a.embedding) AS DOUBLE) AS x,
+           CAST(unnest(b.embedding) AS DOUBLE) AS y
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+sums AS (SELECT a_id, b_id, any_value(label) AS label,
+                sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+         FROM pairs GROUP BY a_id, b_id),
+ranked AS (SELECT a_id, b_id, label,
+                  round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim,
+                  row_number() OVER (PARTITION BY a_id
+                      ORDER BY round(d / (sqrt(nx) * sqrt(ny)), 4) DESC,
+                               b_id ASC) AS rk
+           FROM sums)
+SELECT a_id, label, count(*) AS votes FROM ranked WHERE rk <= 5
+GROUP BY a_id, label ORDER BY a_id, votes DESC, label
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs_with_dups(spark, sf_dir)).orderBy(
+        "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+WITH """ + _DOCS_DUP_SQL + """,
+h AS (SELECT doc_id, md5(text) AS digest FROM docs2),
+g AS (SELECT doc_id, digest,
+             min(doc_id) OVER (PARTITION BY digest) AS canonical_id,
+             count(*) OVER (PARTITION BY digest) AS group_size
+      FROM h)
+SELECT doc_id, digest, canonical_id, group_size FROM g
+WHERE group_size > 1 ORDER BY doc_id
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return (D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+            .orderBy("a_id", "b_id"))
+
+
+SQL_DEDUP_JACCARD = ("WITH " + _SHINGLE_SQL + """
+SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
+ORDER BY a_id, b_id""")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return (D.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16,
+                                band_size=4, threshold=0.2)
+            .orderBy("a_id", "b_id"))
+
+
+SQL_DEDUP_MINHASH = ("WITH " + _SHINGLE_SQL + """,
+seeds AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS seed),
+hv AS (SELECT doc_id, seed,
+              CAST(('0x' || substr(md5('7:' || seed || ':' || shingle),
+                                   1, 8)) AS BIGINT) AS hv
+       FROM sh, seeds),
+sig AS (SELECT doc_id, seed, min(hv) AS minhash
+        FROM hv GROUP BY doc_id, seed),
+banded AS (SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+                  md5(array_to_string(list_sort(
+                      list(seed || ':' || minhash)), ',')) AS band_key
+           FROM sig GROUP BY doc_id, CAST(floor(seed / 4) AS INT)),
+cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id)
+SELECT c.a_id, c.b_id, j.jaccard
+FROM cands c JOIN jac j ON c.a_id = j.a_id AND c.b_id = j.b_id
+WHERE j.jaccard >= 0.2 ORDER BY c.a_id, c.b_id""")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return (D.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+            .orderBy("a_id", "b_id"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)),
+                                              '\\s+')) AS tok
+             FROM documents),
+hv AS (SELECT doc_id,
+              CAST(('0x' || substr(md5('13:' || tok), 1, 8)) AS BIGINT)
+                  AS hv
+       FROM tok WHERE tok <> ''),
+bits AS (SELECT doc_id, j,
+                CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM hv, (SELECT CAST(unnest(range(0, 32)) AS INT) AS j) jj),
+votes AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY doc_id, j),
+sh AS (SELECT doc_id,
+              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY a_id, b_id
+"""
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Aggregate vector stats per label (array higher-order functions:
+    norms, means) — the 'is the embedding column healthy' audit query."""
+    emb = _emb(spark, sf_dir)
+    return (emb.select("label", S.norm(F.col("embedding")).alias("nrm"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("nrm"), 4).alias("avg_norm"))
+            .orderBy("label"))
+
+
+SQL_EMB_STATS = """
+WITH x AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+norms AS (SELECT label, vec_id, sqrt(sum(v * v)) AS nrm
+          FROM x GROUP BY label, vec_id)
+SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+def vector_queries() -> dict:
+    return {
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (numpy hyperplanes)
+        "knn_label_vote": q_knn_label_vote,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_stats": q_embedding_stats,
+    }
+
+
+def vector_oracle_sql() -> dict:
+    return {
+        "ann_brute_topk": SQL_ANN_BRUTE,
+        "knn_label_vote": SQL_KNN_VOTE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "embedding_stats": SQL_EMB_STATS,
+    }

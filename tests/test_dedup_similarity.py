@@ -1,0 +1,95 @@
+"""Unit tests for the dedup / similarity operator suites."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memex_kg_spark.operators import dedup as D
+from memex_kg_spark.operators import similarity as S
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_lsh_topk_recall(spark):
+    """Multi-probe LSH must recover planted near-duplicates (cos ~0.99).
+
+    The raw testdata embeddings are near-random (best cosine ~0.37 — not
+    'near' in the LSH sense: P(bucket collision) ~ (1 - theta/pi)^bits is
+    negligible at theta ~68 deg), so near-dups are planted: vec 0 plus
+    small deterministic noise."""
+    import numpy as np
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    q = np.array(emb.filter(F.col("vec_id") == 0).first()["embedding"],
+                 dtype=np.float64)
+    rng = np.random.RandomState(7)
+    planted = [(10000 + i,
+                (q + 0.02 * rng.standard_normal(len(q))).tolist(), -1)
+               for i in range(10)]
+    aug = emb.unionByName(spark.createDataFrame(
+        planted, ["vec_id", "embedding", "label"]))
+    exact = {r["vec_id"] for r in S.brute_topk(
+        aug.filter("vec_id != 0"), list(q), 10).collect()}
+    assert exact == {10000 + i for i in range(10)}  # planted dominate
+    approx = {r["vec_id"] for r in S.lsh_topk(
+        aug.filter("vec_id != 0"), list(q), 10, n_planes=12,
+        probe_bits=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_lsh_signatures_deterministic(spark):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    a = S.lsh_signatures(emb, 64).select("vec_id", "bucket").toPandas()
+    b = S.lsh_signatures(emb.repartition(7), 64).select(
+        "vec_id", "bucket").toPandas()
+    assert (a.sort_values("vec_id").reset_index(drop=True)
+            .equals(b.sort_values("vec_id").reset_index(drop=True)))
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark):
+    """Banding must recover every pair the exact Jaccard op scores >= 0.5
+    (b=4, r=4: P(miss | J=0.5) = (1 - 0.5^4)^4 ~ 0.77 per band scheme, so
+    use docs-with-dups where true dups have J=1.0 -> P(miss) = 0)."""
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text")
+    dup = docs.unionByName(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    lsh = D.minhash_lsh_pairs(dup, n_hashes=16, band_size=4, threshold=0.99)
+    got = {(r["a_id"], r["b_id"]) for r in lsh.collect()}
+    want = {(i, i + 100000) for i in
+            [r["doc_id"] for r in docs.select("doc_id").collect()]}
+    assert want <= got
+
+
+def test_exact_duplicates_finds_planted(spark):
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text").limit(20)
+    dup = docs.unionByName(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    out = D.exact_duplicates(dup).toPandas()
+    assert len(out) == 40  # every planted pair flagged, both members
+    assert (out["canonical_id"] == out["doc_id"] % 100000).all()
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely unrelated")],
+        ["doc_id", "text"])
+    pairs = D.simhash_pairs(docs, max_hamming=0).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_multimodal_stub(spark):
+    """Binary-column plumbing: schema, batching, deterministic features."""
+    from memex_kg_spark.operators.multimodal import (
+        attach_binary_payload, extract_features)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").limit(50)
+    with_bin = attach_binary_payload(docs)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    feats = extract_features(with_bin).toPandas()
+    assert len(feats) == 50
+    assert set(feats.columns) == {"doc_id", "n_bytes", "checksum",
+                                  "byte_histogram"}
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["byte_histogram"].map(len).eq(16).all()

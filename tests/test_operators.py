@@ -52,13 +52,20 @@ def test_connected_components_fixture(spark):
         ("x4", "y1"), ("y1", "y2"),
     ]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["component"]
-           for r in connected_components(df).collect()}
-    assert got == {
+    want = {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "h": "h", "x1": "h", "x2": "h", "x3": "h", "x4": "h",
         "y1": "h", "y2": "h",
     }
+    # distributed hash-min loop (the scale path)
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(
+                    df, force_distributed=True).collect()}
+    assert got_dist == want
+    # driver union-find fast path (dimension-sized graphs)
+    got_drv = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+    assert got_drv == want
 
 
 def test_haversine_known_value(spark):
