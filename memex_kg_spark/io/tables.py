@@ -1,0 +1,153 @@
+"""Materialization layer: bucketed tables + per-partition lineage + resume.
+
+The reference resumed crashed ingests by checking the filesystem for
+already-fetched JSON files (ingestion/mapillary_ingestion_places.py:
+104-143) and relied on Neo4j unique constraints for idempotent re-insert.
+Here the same capability is set-oriented and scales to 10^12 turns:
+
+- the conversation keyspace is hash-bucketed (``pmod(xxhash64(conv_id),
+  n_buckets)``) — each bucket is an independently processable,
+  independently re-runnable unit (Iceberg analogue: ``bucket(N,
+  conv_id)`` partition transform; parquet ``bucket=K/`` directories in
+  the sandbox);
+- each bucket batch writes its triples via DYNAMIC partition overwrite —
+  re-processing a bucket atomically replaces any partial output from a
+  crashed attempt, giving effectively-once semantics without a
+  transaction log;
+- a ``lineage`` table records (run_id, bucket, rows_in, n_triples,
+  wall_ms, status) AFTER the data lands — the lineage row is the commit
+  point. Resume = anti-join pending buckets against committed lineage;
+- ``nodes``/``edges`` derive from the materialized triples table at the
+  end (global dedup), so a resumed run converges to the same graph as an
+  uninterrupted one (tested).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import pipeline
+from ..operators.canonicalize import build_edges, build_nodes
+
+
+class ResumableKGWriter:
+    def __init__(self, spark: SparkSession, synth_path: str, out_root: str,
+                 n_buckets: int = 8, run_id: str = "run-1"):
+        self.spark = spark
+        self.synth_path = synth_path
+        self.out_root = out_root
+        self.n_buckets = n_buckets
+        self.run_id = run_id
+        self.triples_path = os.path.join(out_root, "triples")
+        self.lineage_path = os.path.join(out_root, "lineage")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        self._pin_bucket_scheme()
+
+    def _pin_bucket_scheme(self) -> None:
+        """The bucket count IS the warehouse layout: resuming with a
+        different one would re-bucket conversations into new ids and
+        silently double-process them (caught live: 2946 -> 3931 triples).
+        Pin it in a metadata file and refuse mismatched resumes."""
+        import json
+        meta_path = os.path.join(self.out_root, "_KG_META.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["n_buckets"] != self.n_buckets:
+                raise ValueError(
+                    f"warehouse {self.out_root} was created with "
+                    f"n_buckets={meta['n_buckets']}; refusing to resume "
+                    f"with n_buckets={self.n_buckets}")
+        else:
+            os.makedirs(self.out_root, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"n_buckets": self.n_buckets,
+                           "key": "pmod(xxhash64(conv_id), n_buckets)"}, f)
+
+    # -- lineage ------------------------------------------------------------
+
+    def committed_buckets(self) -> set[int]:
+        try:
+            rows = (self.spark.read.parquet(self.lineage_path)
+                    .filter(F.col("status") == "ok")
+                    .select("bucket").distinct().collect())
+            return {r["bucket"] for r in rows}
+        except Exception:
+            return set()
+
+    def _commit(self, bucket: int, rows_in: int, n_triples: int,
+                wall_ms: int) -> None:
+        row = [(self.run_id, bucket, rows_in, n_triples, wall_ms, "ok",
+                time.strftime("%Y-%m-%dT%H:%M:%S"))]
+        (self.spark.createDataFrame(
+            row, "run_id string, bucket int, rows_in long, n_triples long, "
+                 "wall_ms long, status string, finished_at string")
+         .coalesce(1)
+         .write.mode("append").parquet(self.lineage_path))
+
+    # -- processing ---------------------------------------------------------
+
+    def _bucketed_transcripts(self) -> DataFrame:
+        d = pipeline.load_synth(self.spark, self.synth_path)
+        t = d["transcripts"].withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"),
+                             F.lit(self.n_buckets)).cast("int"))
+        return t
+
+    def process_bucket(self, bucket: int) -> tuple[int, int]:
+        d = pipeline.load_synth(self.spark, self.synth_path)
+        t = self._bucketed_transcripts().filter(F.col("bucket") == bucket)
+        rows_in = t.count()
+        triples = pipeline.extract_triples(
+            t.drop("bucket"), d["alias_dim"], d["pred_dim"])
+        out = triples.withColumn("bucket", F.lit(bucket))
+        # dynamic overwrite: a re-run of this bucket replaces partial files
+        (out.write.mode("overwrite").partitionBy("bucket")
+         .parquet(self.triples_path))
+        n = self.spark.read.parquet(self.triples_path).filter(
+            F.col("bucket") == bucket).count()
+        return rows_in, n
+
+    def run(self, fail_after: int | None = None) -> dict:
+        """Process all pending buckets; ``fail_after`` aborts after N
+        committed buckets (crash simulation for the resume tests)."""
+        done = self.committed_buckets()
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        processed = 0
+        for b in pending:
+            t0 = time.time()
+            rows_in, n_triples = self.process_bucket(b)
+            self._commit(b, rows_in, n_triples,
+                         int((time.time() - t0) * 1000))
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(
+                    f"simulated crash after {processed} buckets")
+        return {"processed": processed,
+                "skipped": len(done),
+                "total_buckets": self.n_buckets}
+
+    # -- outputs ------------------------------------------------------------
+
+    def triples(self) -> DataFrame:
+        return self.spark.read.parquet(self.triples_path).drop("bucket")
+
+    def finalize_graph(self) -> tuple[DataFrame, DataFrame]:
+        d = pipeline.load_synth(self.spark, self.synth_path)
+        triples = self.triples().localCheckpoint()
+        nodes = build_nodes(triples, d["alias_dim"])
+        edges = build_edges(triples, nodes)
+        nodes_path = os.path.join(self.out_root, "nodes")
+        edges_path = os.path.join(self.out_root, "edges")
+        nodes.write.mode("overwrite").parquet(nodes_path)
+        edges.write.mode("overwrite").parquet(edges_path)
+        return (self.spark.read.parquet(nodes_path),
+                self.spark.read.parquet(edges_path))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)

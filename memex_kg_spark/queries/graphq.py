@@ -1,0 +1,160 @@
+"""Graph-algorithm + spatial queries with oracle twins.
+
+PPR's oracle is the SAME 10-step power iteration UNROLLED into plain SQL
+CTEs (pr0..pr10) — exact semantic parity, no recursion tricks. The
+spatial grid join's oracle is the brute-force cross join, which proves
+the bucketing loses no pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import pipeline
+from ..operators.canonicalize import build_edges, build_nodes
+from ..operators.pagerank import ppr_subgraph, ppr_topk, unrolled_ppr_sql
+from ..operators.spatial import neighbors_within
+from .kg import _cte, synth_for
+from .relational import _GEO_SQL, _customer_geo
+
+PPR_SEED = "Q100"  # the Zipf-hottest entity
+
+
+def _kg_edges(spark, sf_dir):
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    # checkpoint at the fan-out: triples feed nodes AND edges
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
+    nodes = build_nodes(triples, d["alias_dim"])
+    return build_edges(triples, nodes)
+
+
+def _ppr_cte(p: str) -> str:
+    edges_cte = ("WITH RECURSIVE " + _cte(p)
+                 + ", pedges AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v "
+                   "FROM edges)")
+    return unrolled_ppr_sql(edges_cte, PPR_SEED, iterations=10,
+                            damping=0.85)
+
+
+def q_ppr_topk(spark, sf_dir):
+    """T5/G3: seeded PageRank, 10 iterations, damping 0.85 (reference
+    db/db_search.py:291-316), top-10 by rank."""
+    edges = _kg_edges(spark, sf_dir)
+    return ppr_topk(edges, PPR_SEED, k=10)
+
+
+def sql_ppr_topk(p: str) -> str:
+    return (_ppr_cte(p)
+            + "\nSELECT id, rank FROM ppr ORDER BY rank DESC, id ASC "
+              "LIMIT 10")
+
+
+def q_ppr_subgraph(spark, sf_dir):
+    """J9: 1-hop neighborhood of the PPR top-10 (reference
+    get_ppr_subgraph, db/db_search.py:319-340)."""
+    edges = _kg_edges(spark, sf_dir)
+    return ppr_subgraph(edges, PPR_SEED, k=10).orderBy(
+        "src", "pred", "dst")
+
+
+def sql_ppr_subgraph(p: str) -> str:
+    return (_ppr_cte(p) + f"""
+, top10 AS (SELECT id FROM ppr ORDER BY rank DESC, id ASC LIMIT 10)
+SELECT DISTINCT src, pred, dst FROM edges
+WHERE src IN (SELECT id FROM top10) OR dst IN (SELECT id FROM top10)
+ORDER BY src, pred, dst""")
+
+
+def q_node_neighbors(spark, sf_dir):
+    """J10: neighbor lookup for one node — outgoing edges + neighbor
+    labels (reference get_node_neighbors, db/db_search.py:372-396)."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
+    nodes = build_nodes(triples, d["alias_dim"])
+    edges = build_edges(triples, nodes)
+    nbr = nodes.select(F.col("qid").alias("dst"),
+                       F.col("label").alias("neighbor_label"))
+    return (edges.filter(F.col("src") == PPR_SEED)
+            .join(F.broadcast(nbr), "dst")
+            .select("src", "pred", "dst", "neighbor_label")
+            .orderBy("pred", "dst"))
+
+
+def sql_node_neighbors(p: str) -> str:
+    return ("WITH RECURSIVE " + _cte(p) + f"""
+SELECT e.src, e.pred, e.dst, n.label AS neighbor_label
+FROM edges e JOIN nodes n ON e.dst = n.qid
+WHERE e.src = '{PPR_SEED}'
+ORDER BY e.pred, e.dst""")
+
+
+def q_spatial_neighbors(spark, sf_dir):
+    """J3: all customer pairs within 120 km, via the grid-bucketed range
+    join (reference link_neighboring_places was an O(n^2) Cypher scan)."""
+    geo = _customer_geo(spark, sf_dir).withColumnRenamed("c_custkey", "id")
+    return neighbors_within(geo, 120.0).orderBy("a_id", "b_id")
+
+
+SQL_SPATIAL_NEIGHBORS = """
+WITH """ + _GEO_SQL + """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) ^ 2 +
+           cos(radians(a.lat)) * cos(radians(b.lat)) *
+           sin(radians(b.lon - a.lon) / 2) ^ 2)), 4) AS dist_km
+FROM geo a, geo b
+WHERE a.c_custkey < b.c_custkey
+  AND round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) ^ 2 +
+           cos(radians(a.lat)) * cos(radians(b.lat)) *
+           sin(radians(b.lon - a.lon) / 2) ^ 2)), 4) < 120
+ORDER BY a_id, b_id
+"""
+
+
+def q_category_vector(spark, sf_dir):
+    """A1: the reference's category-count vector (main.py:240-249):
+    counts of instance_of targets ordered by label."""
+    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    triples = pipeline.extract_triples(
+        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
+    nodes = build_nodes(triples, d["alias_dim"])
+    tgt = nodes.select(F.col("qid").alias("dst"),
+                       F.col("label").alias("category"))
+    edges = build_edges(triples, nodes)
+    return (edges.filter(F.col("pred") == "instance_of")
+            .join(F.broadcast(tgt), "dst")
+            .groupBy("category").agg(F.count("*").alias("n"))
+            .orderBy("category"))
+
+
+def sql_category_vector(p: str) -> str:
+    return ("WITH RECURSIVE " + _cte(p) + """
+SELECT n.label AS category, count(*) AS n
+FROM edges e JOIN nodes n ON e.dst = n.qid
+WHERE e.pred = 'instance_of'
+GROUP BY category ORDER BY category""")
+
+
+def graph_queries() -> dict:
+    return {
+        "ppr_topk": q_ppr_topk,
+        "ppr_subgraph": q_ppr_subgraph,
+        "node_neighbors": q_node_neighbors,
+        "spatial_neighbors": q_spatial_neighbors,
+        "category_vector": q_category_vector,
+    }
+
+
+def graph_oracle_sql(sf: float = 0.01) -> dict:
+    from ..synth.generator import synth_dir
+    p = synth_dir(sf)
+    return {
+        "ppr_topk": sql_ppr_topk(p),
+        "ppr_subgraph": sql_ppr_subgraph(p),
+        "node_neighbors": sql_node_neighbors(p),
+        "spatial_neighbors": SQL_SPATIAL_NEIGHBORS,
+        "category_vector": sql_category_vector(p),
+    }

@@ -50,19 +50,19 @@ sent AS (SELECT conv_id, turn_idx,
                 generate_subscripts(string_split(text, '. '), 1) - 1
                     AS sent_idx
          FROM t),
-sent2 AS (SELECT conv_id, turn_idx, sent_idx,
+sent2 AS MATERIALIZED (SELECT conv_id, turn_idx, sent_idx,
                  regexp_replace(piece, '\\.$', '') AS sentence,
                  CAST(coalesce(sum(length(piece) + 2) OVER (
                      PARTITION BY conv_id, turn_idx ORDER BY sent_idx
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS INTEGER) AS sent_off
           FROM sent),
-stmt AS (SELECT conv_id, turn_idx, sent_idx, sent_off,
+stmt AS MATERIALIZED (SELECT conv_id, turn_idx, sent_idx, sent_off,
                 regexp_extract(sentence, '{_PAT}', 1) AS subj_surface,
                 regexp_extract(sentence, '{_PAT}', 2) AS phrase,
                 regexp_extract(sentence, '{_PAT}', 3) AS obj_surface
          FROM sent2 WHERE regexp_matches(sentence, '{_PAT}')),
-winners AS (SELECT norm_alias, qid, label, node_type FROM (
+winners AS MATERIALIZED (SELECT norm_alias, qid, label, node_type FROM (
                 SELECT norm_alias, qid, label, node_type,
                        row_number() OVER (PARTITION BY norm_alias
                            ORDER BY prior DESC, qid ASC) AS rk
@@ -73,7 +73,7 @@ slots AS (SELECT conv_id, turn_idx, subj_surface AS surface,
           SELECT conv_id, turn_idx, obj_surface AS surface,
                  sent_off + length(subj_surface) + length(phrase) + 2 AS pos
           FROM stmt),
-mentions AS (SELECT conv_id, turn_idx,
+mentions AS MATERIALIZED (SELECT conv_id, turn_idx,
                     CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
                         ORDER BY pos, surface) - 1 AS BIGINT) AS mention_id,
                     surface, lower(surface) AS norm_surface,
@@ -81,13 +81,13 @@ mentions AS (SELECT conv_id, turn_idx,
                     CAST(pos + length(surface) AS INTEGER) AS "end"
              FROM slots
              WHERE lower(surface) IN (SELECT norm_alias FROM alias_dim)),
-st AS (SELECT DISTINCT m.conv_id, m.turn_idx, ws.qid AS subj, p.pred,
+st AS MATERIALIZED (SELECT DISTINCT m.conv_id, m.turn_idx, ws.qid AS subj, p.pred,
               wo.qid AS obj, 'entity' AS obj_type
        FROM stmt m
        JOIN winners ws ON lower(m.subj_surface) = ws.norm_alias
        JOIN winners wo ON lower(m.obj_surface) = wo.norm_alias
        JOIN pred_dim p ON m.phrase = p.phrase),
-linked AS (SELECT DISTINCT conv_id, turn_idx, qid FROM (
+linked AS MATERIALIZED (SELECT DISTINCT conv_id, turn_idx, qid FROM (
                SELECT m.conv_id, m.turn_idx, w.qid FROM stmt m
                JOIN winners w ON lower(m.subj_surface) = w.norm_alias
                UNION ALL
@@ -95,12 +95,12 @@ linked AS (SELECT DISTINCT conv_id, turn_idx, qid FROM (
                JOIN winners w ON lower(m.obj_surface) = w.norm_alias)),
 props AS (SELECT qid, unnest(prop_keys) AS pred, unnest(prop_vals) AS obj
           FROM (SELECT DISTINCT qid, prop_keys, prop_vals FROM alias_dim)),
-claim AS (SELECT DISTINCT l.conv_id, l.turn_idx, l.qid AS subj, pr.pred,
+claim AS MATERIALIZED (SELECT DISTINCT l.conv_id, l.turn_idx, l.qid AS subj, pr.pred,
                  pr.obj,
                  CASE WHEN regexp_matches(pr.obj, '^Q[0-9]+$')
                       THEN 'entity' ELSE 'literal' END AS obj_type
           FROM linked l JOIN props pr USING (qid)),
-triples AS (SELECT DISTINCT * FROM
+triples AS MATERIALIZED (SELECT DISTINCT * FROM
                 (SELECT * FROM st UNION ALL SELECT * FROM claim)),
 aedges AS (SELECT qid AS a, root AS b FROM (
                SELECT qid, min(qid) OVER (PARTITION BY norm_alias) AS root
@@ -112,15 +112,15 @@ ids AS (SELECT DISTINCT qid FROM alias_dim),
 reach(x, y) AS (SELECT qid, qid FROM ids
                 UNION
                 SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
-canon AS (SELECT x AS qid, min(y) AS canonical_id FROM reach GROUP BY x),
-node_ids AS (SELECT DISTINCT qid FROM (
+canon AS MATERIALIZED (SELECT x AS qid, min(y) AS canonical_id FROM reach GROUP BY x),
+node_ids AS MATERIALIZED (SELECT DISTINCT qid FROM (
                  SELECT subj AS qid FROM triples
                  UNION ALL
                  SELECT obj AS qid FROM triples WHERE obj_type = 'entity')),
 dim AS (SELECT DISTINCT qid, label, node_type, lat, lon FROM alias_dim),
-nodes AS (SELECT d.qid, d.label, d.node_type, d.lat, d.lon, c.canonical_id
+nodes AS MATERIALIZED (SELECT d.qid, d.label, d.node_type, d.lat, d.lon, c.canonical_id
           FROM node_ids JOIN dim d USING (qid) JOIN canon c USING (qid)),
-edges AS (SELECT DISTINCT subj AS src, pred, obj AS dst FROM triples
+edges AS MATERIALIZED (SELECT DISTINCT subj AS src, pred, obj AS dst FROM triples
           WHERE obj_type = 'entity'
             AND subj IN (SELECT qid FROM node_ids)
             AND obj IN (SELECT qid FROM node_ids))
