@@ -30,6 +30,11 @@ def all_queries() -> dict:
         out.update(graph_queries())
     except ImportError:
         pass
+    try:
+        from .extra import extra_oracle_sql, extra_queries  # noqa: F401
+        out.update(extra_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -50,6 +55,11 @@ def all_oracle_sql() -> dict:
     try:
         from .graphq import graph_oracle_sql
         out.update(graph_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from .extra import extra_oracle_sql
+        out.update(extra_oracle_sql())
     except ImportError:
         pass
     return out
