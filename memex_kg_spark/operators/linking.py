@@ -43,17 +43,32 @@ def alias_winners(alias_dim: DataFrame) -> DataFrame:
     """norm_alias -> winning (qid, label, node_type, score).
 
     Runs on the dimension only (thousands of rows), so the window sort is
-    free; the result broadcasts to every executor."""
+    free; the result broadcasts to every executor. Memoized per logical
+    plan on the owning SparkSession (same pattern as canonical_map): the
+    pipeline consumes winners in several joins and each broadcast build is
+    a fixed-cost driver-side job — pure overhead that would otherwise be
+    paid 4-5x per run and eat into N->4N scaling efficiency."""
+    sess = alias_dim.sparkSession
+    memo = getattr(sess, "_kg_winners_memo", None)
+    if memo is None:
+        memo = {}
+        sess._kg_winners_memo = memo
+    key = alias_dim.semanticHash()
+    if key in memo:
+        return memo[key]
     scored = alias_dim.withColumn(
         "score",
         score_candidates(F.col("norm_alias"), F.col("norm_alias"),
                          F.col("prior")))
     w = Window.partitionBy("norm_alias").orderBy(
         F.col("score").desc(), F.col("qid").asc())
-    return (scored
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") == 1)
-            .select("norm_alias", "qid", "label", "node_type", "score"))
+    out = (scored
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") == 1)
+           .select("norm_alias", "qid", "label", "node_type", "score")
+           .localCheckpoint())
+    memo[key] = out
+    return out
 
 
 def link_mentions(mentions: DataFrame, alias_dim: DataFrame) -> DataFrame:

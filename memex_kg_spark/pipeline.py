@@ -97,16 +97,25 @@ def claim_triples(statements: DataFrame, alias_dim: DataFrame) -> DataFrame:
                     .otherwise("literal").alias("obj_type")))
 
 
+def triples_from_statements(statements: DataFrame, alias_dim: DataFrame,
+                            pred_dim: DataFrame) -> DataFrame:
+    """Triple set from an already-extracted statements DF — lets callers
+    that also materialize mentions run the extraction scan ONCE (persist
+    statements, feed both consumers) instead of re-running the pandas UDF
+    stage per consumer."""
+    t = (statement_triples(statements, alias_dim, pred_dim)
+         .unionByName(claim_triples(statements, alias_dim)))
+    return t.dropDuplicates(
+        ["conv_id", "turn_idx", "subj", "pred", "obj", "obj_type"])
+
+
 def extract_triples(transcripts: DataFrame, alias_dim: DataFrame,
                     pred_dim: DataFrame) -> DataFrame:
     """Full triple set, deduped within each turn (matches the oracle's
     per-turn set semantics; conv_id+turn_idx in the key keep the dedup
     shuffle high-cardinality and skew-free)."""
-    statements = extract_statements(transcripts)
-    t = (statement_triples(statements, alias_dim, pred_dim)
-         .unionByName(claim_triples(statements, alias_dim)))
-    return t.dropDuplicates(
-        ["conv_id", "turn_idx", "subj", "pred", "obj", "obj_type"])
+    return triples_from_statements(
+        extract_statements(transcripts), alias_dim, pred_dim)
 
 
 def build_kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -115,8 +124,8 @@ def build_kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     statements = extract_statements(d["transcripts"])
     mentions = statements_to_mentions(statements, d["alias_dim"])
     linked = link_mentions(mentions, d["alias_dim"])
-    triples = extract_triples(d["transcripts"], d["alias_dim"],
-                              d["pred_dim"])
+    triples = triples_from_statements(statements, d["alias_dim"],
+                                      d["pred_dim"])
     nodes = build_nodes(triples, d["alias_dim"])
     edges = build_edges(triples, nodes)
     return {"statements": statements, "mentions": mentions,
