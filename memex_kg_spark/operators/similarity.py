@@ -107,6 +107,46 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int,
             .limit(k))
 
 
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: nearest-centroid list id per row, pure
+    column expressions (one cosine per centroid, argmax via array_position
+    on the similarity array) — whole-stage codegen, no Python. Centroids
+    are a small driver-side list; at scale they come from a sampled
+    k-means and broadcast as literals exactly the same way."""
+    sims = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids])
+    return emb.withColumn(
+        "list_id",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int,
+             n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: coarse-quantize rows into ``n_lists`` inverted lists,
+    search only the ``n_probe`` lists whose centroids are closest to the
+    query. Centroids are chosen deterministically as the first
+    ``n_lists`` vectors by id (k-means-free but stable; swap in sampled
+    k-means at scale — the operator contract is identical). At 100 TB the
+    table is written partitioned by list_id, so probing prunes partitions.
+    """
+    cents = [list(r[0]) for r in
+             emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()]
+    q = np.asarray(query_vec, dtype=np.float64)
+    cm = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
+    sims = (cm @ q) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(q))
+    probe_ids = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    assigned = ivf_assign(emb, cents, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (assigned.filter(F.col("list_id").isin(probe_ids))
+            .select(id_col,
+                    F.round(cosine(F.col(vec_col), qcol), 4).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def pairwise_topk_per_item(emb: DataFrame, k: int, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -140,6 +140,26 @@ def q_dominant_set(spark, sf_dir):
             .orderBy("cluster_id", "qid"))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """G8 plumbing: opaque binary media column -> mapInPandas feature
+    extraction (deterministic stub codec; real schema/batching/partition
+    contract). Oracle checks the SQL-expressible projection (byte length +
+    md5 checksum); the byte-histogram output is pinned in pytest."""
+    from ..operators.multimodal import attach_binary_payload, extract_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(attach_binary_payload(docs))
+    return (feats.select("doc_id", "n_bytes", "checksum")
+            .orderBy("doc_id"))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(strlen('IMG0' || coalesce(text, '')) AS BIGINT) AS n_bytes,
+       md5('IMG0' || coalesce(text, '')) AS checksum
+FROM documents ORDER BY doc_id
+"""
+
+
 def extra_queries() -> dict:
     return {
         "nhop_expand": q_nhop_expand,
@@ -148,6 +168,7 @@ def extra_queries() -> dict:
         "euclidean_topk": q_euclidean_topk,
         "rollup_orders": q_rollup_orders,
         "dominant_set_clusters": q_dominant_set,  # rows-only
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -160,4 +181,5 @@ def extra_oracle_sql(sf: float = 0.01) -> dict:
         "fulltext_search": fulltext_sql(FT_TERMS, 10),
         "euclidean_topk": SQL_EUCLIDEAN,
         "rollup_orders": SQL_ROLLUP,
+        "multimodal_features": SQL_MULTIMODAL,
     }

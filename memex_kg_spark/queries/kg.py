@@ -206,6 +206,43 @@ def q_kg_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J8/A2/W2: CSV (Google-Form) source -> Manual rows with
+    monotonically assigned mid (MAX(existing)+row_number, the reference's
+    csv_reader.py:41-66 counter re-expressed as a window), equi-joined to
+    KG nodes on category==label (the instance_of edge creation,
+    csv_reader.py:89-96)."""
+    from pyspark.sql import Window
+    from ..synth.generator import ensure_manual_csv
+
+    p = synth_for(sf_dir)
+    csv_path = ensure_manual_csv(p)
+    base_mid = 1000  # MAX(a.mid) of the pre-existing Manual set
+    w = Window.orderBy("title")
+    manual = (spark.read.csv(csv_path, header=True)
+              .select((F.row_number().over(w) + base_mid)
+                      .cast("long").alias("mid"),
+                      "title", "category"))
+    nodes = q_kg_nodes(spark, sf_dir)
+    return (manual.join(F.broadcast(nodes),
+                        manual.category == nodes.label, "inner")
+            .select("mid", "title", "category", "qid",
+                    F.lit("instance_of").alias("pred"))
+            .orderBy("mid", "qid"))
+
+
+def _sql_csv_manual(p: str) -> str:
+    return _wrap(p, f"""
+        SELECT m.mid, m.title, m.category, n.qid,
+               'instance_of' AS pred
+        FROM (SELECT CAST(1000 + row_number() OVER (ORDER BY title)
+                          AS BIGINT) AS mid,
+                     title, category
+              FROM read_csv_auto('{p}/manual.csv', header = true)) m
+        JOIN nodes n ON m.category = n.label
+        ORDER BY m.mid, n.qid""")
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -219,6 +256,7 @@ def kg_queries() -> dict:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_mention_counts_salted": q_kg_mention_counts_salted,
         "kg_hot_entities": q_kg_hot_entities,
+        "csv_manual_ingest": q_csv_manual_ingest,
     }
 
 
@@ -252,4 +290,5 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
                   FROM mentions m JOIN winners w
                     ON m.norm_surface = w.norm_alias
                   GROUP BY w.qid ORDER BY n DESC, qid ASC LIMIT 20"""),
+        "csv_manual_ingest": _sql_csv_manual(p),
     }

@@ -87,6 +87,16 @@ def q_ann_lsh_topk(spark, sf_dir):
                       n_planes=8, probe_bits=2)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantize -> probe nearest lists): the
+    partition-prunable scale path. Rows-only driver check; recall vs
+    brute force asserted in pytest."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10,
+                      n_lists=16, n_probe=4)
+
+
 def q_knn_label_vote(spark, sf_dir):
     """Exact top-5 neighbor label vote for the first 20 vectors (the
     embedding-cosine near-dup / classification shape). All-pairs cosine
@@ -215,6 +225,55 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / MinHash / SimHash / Jaccard / cosine).
+
+    The corpus is augmented with a scaled copy of each probe vector
+    (vec_id+100000, 2x magnitude) so near-dup pairs provably exist:
+    cosine is scale-invariant, so each (v, 2v) pair scores 1.0 while
+    being byte-wise different. Probe side restricted to vec_id < 100 and
+    broadcast — the all-pairs scan stays bounded; the unbounded-scale
+    path is LSH bucketing (see ann_lsh_topk / minhash_lsh_pairs)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    scaled = probes.select(
+        (F.col("a_id") + 100000).alias("vec_id"),
+        F.transform("a_vec", lambda x: x * 2.0).alias("embedding"))
+    cands = (emb.select("vec_id", "embedding").unionByName(scaled)
+             .select(F.col("vec_id").alias("b_id"),
+                     F.col("embedding").alias("b_vec")))
+    return (F.broadcast(probes).crossJoin(cands)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("sim", F.round(S.cosine(F.col("a_vec"),
+                                                F.col("b_vec")), 4))
+            .filter(F.col("sim") >= 0.99)
+            .select("a_id", "b_id", "sim")
+            .orderBy("a_id", "b_id"))
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+aug AS (SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding, x -> x * 2.0) AS embedding
+        FROM base WHERE vec_id < 100),
+pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(b.embedding) AS DOUBLE) AS y
+          FROM base a JOIN aug b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 100),
+sums AS (SELECT a_id, b_id, sum(x * y) AS d, sum(x * x) AS nx,
+                sum(y * y) AS ny
+         FROM pairs GROUP BY a_id, b_id)
+SELECT a_id, b_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim
+FROM sums WHERE round(d / (sqrt(nx) * sqrt(ny)), 4) >= 0.99
+ORDER BY a_id, b_id
+"""
+
+
 def q_embedding_stats(spark, sf_dir):
     """Aggregate vector stats per label (array higher-order functions:
     norms, means) — the 'is the embedding column healthy' audit query."""
@@ -240,11 +299,13 @@ def vector_queries() -> dict:
     return {
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (numpy hyperplanes)
+        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate by design)
         "knn_label_vote": q_knn_label_vote,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "embedding_stats": q_embedding_stats,
     }
 
@@ -257,5 +318,6 @@ def vector_oracle_sql() -> dict:
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_embedding": SQL_DEDUP_EMBEDDING,
         "embedding_stats": SQL_EMB_STATS,
     }

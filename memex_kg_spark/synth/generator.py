@@ -304,3 +304,33 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
     else:
         os.rename(tmp, d)
     return d
+
+
+def ensure_manual_csv(synth_path: str) -> str:
+    """Deterministic Google-Form-style manual CSV (reference S7,
+    ingestion/csv_reader.py:29-38): title,description,author,category
+    rows whose categories are entity labels, so the J8 label equi-join
+    (ingestion/csv_reader.py:89-96) hits real KG nodes. Idempotent;
+    written next to the synth parquet so DuckDB oracles can read the
+    identical bytes by absolute path."""
+    import csv
+
+    path = os.path.join(synth_path, "manual.csv")
+    if os.path.exists(path):
+        return path
+    from .vocab import entity_name
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["title", "description", "author", "category"])
+        for i in range(40):
+            w.writerow([
+                f"story {i:03d}",
+                f"a tale about {entity_name((i * 5 + 2) % N_ENTITIES)}, "
+                f"vol {i}",
+                f"author_{i % 7}",
+                entity_name((i * 3) % N_ENTITIES),
+            ])
+    os.replace(tmp, path)
+    return path

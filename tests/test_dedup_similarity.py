@@ -93,3 +93,54 @@ def test_multimodal_stub(spark):
                                   "byte_histogram"}
     assert (feats["n_bytes"] > 0).all()
     assert feats["byte_histogram"].map(len).eq(16).all()
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probing must recover planted near-duplicates (same planting
+    scheme as the LSH test): with the query's own list among the probed
+    lists, cos~0.99 neighbors quantize to the same or a probed list."""
+    import numpy as np
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    q = np.array(emb.filter(F.col("vec_id") == 0).first()["embedding"],
+                 dtype=np.float64)
+    rng = np.random.RandomState(7)
+    planted = [(10000 + i,
+                (q + 0.02 * rng.standard_normal(len(q))).tolist(), -1)
+               for i in range(10)]
+    aug = emb.unionByName(spark.createDataFrame(
+        planted, ["vec_id", "embedding", "label"]))
+    exact = {r["vec_id"] for r in S.brute_topk(
+        aug.filter("vec_id != 0"), list(q), 10).collect()}
+    approx = {r["vec_id"] for r in S.ivf_topk(
+        aug.filter("vec_id != 0"), list(q), 10, n_lists=16,
+        n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_deterministic_and_total(spark):
+    """Every row gets exactly one list id in [0, n_lists), independent of
+    partitioning (argmax over column exprs is deterministic)."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    cents = [list(r[0]) for r in
+             emb.orderBy("vec_id").limit(8).select("embedding").collect()]
+    a = S.ivf_assign(emb, cents).select("vec_id", "list_id").toPandas()
+    b = S.ivf_assign(emb.repartition(5), cents).select(
+        "vec_id", "list_id").toPandas()
+    assert a["list_id"].between(0, 7).all()
+    assert (a.sort_values("vec_id").reset_index(drop=True)
+            .equals(b.sort_values("vec_id").reset_index(drop=True)))
+
+
+def test_dedup_embedding_finds_scaled_copies(spark):
+    """Cosine near-dup query: every probe's scaled copy (2x magnitude)
+    must appear as a sim=1.0 pair — cosine is scale-invariant."""
+    from memex_kg_spark.queries.vector import q_dedup_embedding
+    out = q_dedup_embedding(spark, SF01).collect()
+    probe_ids = {r["a_id"] for r in out}
+    pairs = {(r["a_id"], r["b_id"]): r["sim"] for r in out}
+    n_probes = spark.read.parquet(f"{SF01}/embeddings.parquet").filter(
+        "vec_id < 100").count()
+    for a in probe_ids:
+        assert pairs.get((a, a + 100000)) == 1.0
+    assert len(probe_ids) == n_probes
