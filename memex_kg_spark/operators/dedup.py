@@ -54,17 +54,39 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, max_df: int | None = None) -> DataFrame:
     """n-gram Jaccard near-dup pairs: candidates = docs sharing >=1
     shingle; J = |inter| / (|A| + |B| - |inter|) computed from counts
-    (no set materialization per pair)."""
+    (no set materialization per pair).
+
+    ``max_df`` caps CANDIDATE GENERATION only: shingles appearing in more
+    than ``max_df`` documents don't form candidate pairs (a single stop-
+    shingle otherwise creates a quadratic bucket; with the cap, per-
+    bucket work is bounded by max_df^2). The Jaccard of every surviving
+    pair is still exact — the intersection is recomputed over the FULL
+    shingle sets — so recall only loses pairs whose entire overlap is
+    stop-shingles (bound pinned in pytest). Default None = exact
+    candidates; at corpus scale either set it or use this operator
+    strictly as the verify tier behind MinHash-LSH."""
     sh = word_shingles(df, text_col, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("a_id") < F.col("b_id"))
-             .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
+    if max_df is None:
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("a_id") < F.col("b_id"))
+                 .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
+    else:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        ac = a.join(F.broadcast(hot), "shingle", "left_anti")
+        bc = b.join(F.broadcast(hot), "shingle", "left_anti")
+        cands = (ac.join(bc, "shingle")
+                 .filter(F.col("a_id") < F.col("b_id"))
+                 .select("a_id", "b_id").distinct())
+        inter = (cands.join(a, "a_id")
+                 .join(b, ["b_id", "shingle"])
+                 .groupBy("a_id", "b_id").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("a_id"),
                       F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b_id"),
@@ -136,12 +158,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       .alias("tok"))
             .filter(F.col("tok") != ""))
     h = toks.withColumn("hv", _md5_hash64(F.col("tok"), 13))
-    bit_dim = df.sparkSession.range(bits).select(
-        F.col("id").cast("int").alias("bit"))
-    bitsdf = (h.crossJoin(F.broadcast(bit_dim))
-              .withColumn("vote",
-                          F.when(F.expr("shiftright(hv, bit) % 2 = 1"), 1)
-                          .otherwise(-1)))
+    bit_votes = F.array(*[
+        F.struct(F.lit(j).alias("bit"),
+                 F.when(F.expr(f"shiftright(hv, {j}) % 2 = 1"), 1)
+                 .otherwise(-1).alias("vote"))
+        for j in range(bits)])
+    bitsdf = (h.select(id_col, F.explode(bit_votes).alias("b"))
+              .select(id_col, "b.bit", "b.vote"))
     votes = (bitsdf.groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
     return (votes.groupBy(id_col)
             .agg(F.sum(F.when(F.col("v") > 0,
@@ -153,15 +176,38 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   bits: int = 32) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance. The all-pairs compare
-    here is corpus-size-bounded by upstream filters; at scale, band the
-    fingerprint into 4 chunks and equi-join on any-chunk-equal first."""
+    """Near-dup pairs by simhash hamming distance — banded equi-join, no
+    cross join.
+
+    Pigeonhole: split the fingerprint into ``max_hamming + 1`` contiguous
+    chunks; any pair within hamming ``max_hamming`` differs in at most
+    ``max_hamming`` bit positions, so at least one chunk is IDENTICAL.
+    Candidates therefore come from an equi-join on (chunk_idx,
+    chunk_value) — per-bucket work instead of O(n^2) — then the exact
+    hamming filter verifies, and pairs colliding in several chunks are
+    deduped. Recall is exact (not probabilistic): the physical plan has
+    no CartesianProduct/BroadcastNestedLoopJoin (pinned in
+    test_plans.py)."""
     s = simhash(df, text_col, id_col, bits)
-    a = s.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("ha"))
-    b = s.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("hb"))
-    return (a.crossJoin(b)
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.expr(f"shiftright(simhash, {c * width}) "
+                   f"% shiftleft(CAST(1 AS BIGINT), {width})")
+            .alias("chunk_val"))
+        for c in range(n_chunks)])
+    chunked = (s.select(id_col, "simhash",
+                        F.explode(chunk_structs).alias("c"))
+               .select(id_col, "simhash", "c.chunk", "c.chunk_val"))
+    a = chunked.select(F.col(id_col).alias("a_id"),
+                       F.col("simhash").alias("ha"), "chunk", "chunk_val")
+    b = chunked.select(F.col(id_col).alias("b_id"),
+                       F.col("simhash").alias("hb"), "chunk", "chunk_val")
+    return (a.join(b, ["chunk", "chunk_val"])
             .filter(F.col("a_id") < F.col("b_id"))
             .withColumn("hamming",
                         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .filter(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming"))
+            .select("a_id", "b_id", "hamming").distinct())

@@ -92,6 +92,37 @@ def modularity(A: np.ndarray, labels: list[int]) -> float:
     return q / two_m
 
 
+def service_clusters(edges_df, seed: str) -> list[tuple[int, int, str, float]]:
+    """EP3 tail (services/app.py:342-392): constrained Dominant-Set over a
+    collected PPR-gated subgraph, seed cluster first, seed first within
+    its cluster. Returns (rank, cluster_id, qid, constrained_weight)
+    rows — deterministic given the edge set (replicator dynamics is
+    deterministic from the uniform start)."""
+    rows = edges_df.collect()
+    ids = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    pos = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for r in rows:
+        A[pos[r["src"]], pos[r["dst"]]] = 1.0
+        A[pos[r["dst"]], pos[r["src"]]] = 1.0
+    clusters = dominant_set_clusters(A)
+    x = (constrained_dominant_set(A, [pos[seed]])
+         if seed in pos else np.zeros(len(ids)))
+    # seed cluster first (reference reorders with the seed at the front),
+    # then the reference's peel order
+    order = sorted(range(len(clusters)),
+                   key=lambda c: (0 if seed in {ids[i] for i in clusters[c]}
+                                  else 1, c))
+    out, rank = [], 0
+    for new_cid, c in enumerate(order):
+        members = [ids[i] for i in clusters[c]]
+        members.sort(key=lambda q: (0 if q == seed else 1, q))
+        for q in members:
+            out.append((rank, new_cid, q, round(float(x[pos[q]]), 8)))
+            rank += 1
+    return out
+
+
 def cluster_subgraph(edges_df, sim_col: str = None) -> list[list[str]]:
     """Spark boundary: collect a (small, PPR-gated) edge list and cluster
     it. Returns clusters of node ids."""

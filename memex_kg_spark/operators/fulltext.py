@@ -26,13 +26,39 @@ def term_postings(docs: DataFrame, text_col: str = "text",
     return toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
 
 
+_INDEX_MEMO: dict = {}
+
+
+def build_fulltext_index(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> dict:
+    """Materialize the inverted index ONCE: postings + per-term df +
+    corpus size, localCheckpoint-ed (the in-process stand-in for the
+    term-partitioned postings table a 100 TB deployment would persist).
+    Memoized per (session, plan) so repeated queries reuse it instead of
+    re-counting the corpus and rebuilding postings per query — the r01
+    perf-weak point of this module."""
+    key = (id(docs.sparkSession), docs.semanticHash(), text_col, id_col)
+    hit = _INDEX_MEMO.get(key)
+    if hit is not None:
+        return hit
+    postings = term_postings(docs, text_col, id_col).localCheckpoint()
+    df_counts = (postings.groupBy("term")
+                 .agg(F.countDistinct(id_col).alias("df"))
+                 .localCheckpoint())
+    idx = {"postings": postings, "df": df_counts,
+           "n_docs": docs.count(), "id_col": id_col}
+    _INDEX_MEMO[key] = idx
+    return idx
+
+
 def fulltext_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
-    n_docs = docs.count()
-    postings = term_postings(docs, text_col, id_col)
-    df_counts = postings.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df"))
+                  text_col: str = "text", id_col: str = "doc_id",
+                  index: dict | None = None) -> DataFrame:
+    if index is None:
+        index = build_fulltext_index(docs, text_col, id_col)
+    n_docs = index["n_docs"]
+    postings = index["postings"]
+    df_counts = index["df"]
     q = docs.sparkSession.createDataFrame(
         [(t.lower(),) for t in query_terms], ["term"]).distinct()
     scored = (postings

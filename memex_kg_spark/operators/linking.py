@@ -47,13 +47,26 @@ def alias_winners(alias_dim: DataFrame) -> DataFrame:
     plan on the owning SparkSession (same pattern as canonical_map): the
     pipeline consumes winners in several joins and each broadcast build is
     a fixed-cost driver-side job — pure overhead that would otherwise be
-    paid 4-5x per run and eat into N->4N scaling efficiency."""
+    paid 4-5x per run and eat into N->4N scaling efficiency.
+
+    Memo key = semanticHash PLUS the source files' (path, mtime, size), so
+    a regenerated dimension under an identical logical plan invalidates
+    the entry; ``clear_winner_memo`` is the explicit hook. Checkpointed
+    blocks of evicted entries are released via the DF's RDD."""
+    import os
     sess = alias_dim.sparkSession
     memo = getattr(sess, "_kg_winners_memo", None)
     if memo is None:
         memo = {}
         sess._kg_winners_memo = memo
-    key = alias_dim.semanticHash()
+    try:
+        files = tuple(sorted(
+            (f, os.path.getmtime(f.replace("file:", "")),
+             os.path.getsize(f.replace("file:", "")))
+            for f in alias_dim.inputFiles()))
+    except OSError:
+        files = ()
+    key = (alias_dim.semanticHash(), files)
     if key in memo:
         return memo[key]
     scored = alias_dim.withColumn(
@@ -69,6 +82,19 @@ def alias_winners(alias_dim: DataFrame) -> DataFrame:
            .localCheckpoint())
     memo[key] = out
     return out
+
+
+def clear_winner_memo(spark) -> None:
+    """Drop all memoized winner dimensions (and unpin their checkpointed
+    blocks) — call after mutating a dimension table in place."""
+    memo = getattr(spark, "_kg_winners_memo", None)
+    if memo:
+        for df in memo.values():
+            try:
+                df.rdd.unpersist()
+            except Exception:
+                pass
+        memo.clear()
 
 
 def link_mentions(mentions: DataFrame, alias_dim: DataFrame) -> DataFrame:

@@ -56,12 +56,22 @@ def _feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     payloads = pdf["payload"]
     n_bytes = payloads.map(len).astype("int64")
     checksum = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-    hists = []
-    for b in payloads:
-        arr = np.frombuffer(bytes(b), dtype=np.uint8)
-        h = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-        total = h.sum()
-        hists.append((h / total if total else h).round(6).tolist())
+    # one histogram pass over the whole batch: concatenate payload bytes,
+    # bincount per row via offset-shifted bins (row_idx*16 + nibble) —
+    # no per-row numpy calls
+    lens = n_bytes.to_numpy()
+    if lens.sum():
+        allb = np.frombuffer(b"".join(bytes(b) for b in payloads),
+                             dtype=np.uint8)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        flat = np.bincount(row_idx * 16 + (allb >> 4),
+                           minlength=len(lens) * 16).astype(np.float64)
+        h = flat.reshape(len(lens), 16)
+        totals = h.sum(axis=1, keepdims=True)
+        h = np.divide(h, totals, out=np.zeros_like(h), where=totals > 0)
+        hists = [row.round(6).tolist() for row in h]
+    else:
+        hists = [[0.0] * 16 for _ in lens]
     return pd.DataFrame({
         "doc_id": pdf["doc_id"].astype("int64"),
         "n_bytes": n_bytes,

@@ -62,8 +62,23 @@ def brute_topk(emb: DataFrame, query_vec: list[float], k: int,
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    """md5-derived hyperplane components, uniform in (-0.5, 0.5):
+    plane[p][j] = md5("lsh:{seed}:{p}:{j}")[:8] / 2^32 - 0.5.
+
+    Engine-portable like every other hash in the repo — DuckDB reproduces
+    the identical planes (and hence buckets and probed candidate sets) in
+    plain SQL, which is what upgrades the LSH query from rows-only to the
+    full value-hash driver check. Sign-hash LSH only needs symmetrically
+    distributed directions, not gaussian components; recall vs brute
+    force is pinned in pytest."""
+    import hashlib
+
+    def comp(p: int, j: int) -> float:
+        h = hashlib.md5(f"lsh:{seed}:{p}:{j}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0 - 0.5
+
+    return np.array([[comp(p, j) for j in range(dim)]
+                     for p in range(n_planes)], dtype=np.float64)
 
 
 def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 16,
@@ -112,32 +127,84 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]],
     """IVF coarse quantization: nearest-centroid list id per row, pure
     column expressions (one cosine per centroid, argmax via array_position
     on the similarity array) — whole-stage codegen, no Python. Centroids
-    are a small driver-side list; at scale they come from a sampled
-    k-means and broadcast as literals exactly the same way."""
-    sims = F.array(*[
-        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids])
+    are a small driver-side list; at scale they come from ``ivf_centroids``
+    (distributed sampled k-means) and broadcast as literals the same way.
+
+    Guards: a zero-norm row (or zero-norm centroid) scores -1.0 instead
+    of NaN, so every row lands in a real list (NaN would make
+    array_position return 0 -> list_id -1 -> silently unsearchable)."""
+    def safe_cos(c):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        d = norm(F.col(vec_col)) * norm(cc)
+        # rounded to 6: argmax decisions agree bit-for-bit across engines
+        # (summation order differs between Spark's fold and SQL SUM)
+        return F.when(d > 0, F.round(dot(F.col(vec_col), cc) / d, 6)
+                      ).otherwise(F.lit(-1.0))
+
+    sims = F.array(*[safe_cos(c) for c in centroids])
     return emb.withColumn(
         "list_id",
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
 
 
+def ivf_centroids(emb: DataFrame, n_lists: int, iterations: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 7) -> list[list[float]]:
+    """Deterministic sampled k-means (Lloyd) centroids.
+
+    Init = the ``n_lists`` vectors whose md5(seed:id) sorts smallest — a
+    uniform deterministic sample that any engine reproduces (unlike
+    first-N-by-id, which inherits whatever ordering bias ids carry). Each
+    Lloyd step is fully distributed: assignment is the codegen
+    ``ivf_assign`` plan, the update is posexplode -> per-(list, dim) mean
+    — the only driver-side data is the k x dim centroid matrix itself.
+    Duplicate init vectors are deduped (aliased empty lists otherwise)
+    and n_lists clamps to the available row count."""
+    init_rows = (emb.select(vec_col)
+                 .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                            F.col(id_col).cast("string"))),
+                          F.col(id_col))
+                 .limit(n_lists).collect())
+    seen, cents = set(), []
+    for r in init_rows:
+        key = tuple(float(x) for x in r[0])
+        if key not in seen:
+            seen.add(key)
+            cents.append(list(key))
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, cents, vec_col)
+        means = (assigned
+                 .select("list_id", F.posexplode(vec_col)
+                         .alias("j", "x"))
+                 .groupBy("list_id", "j")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                 .collect())
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            # round(6): centroids agree across engines despite summation-
+            # order epsilon in the mean
+            by_list.setdefault(r["list_id"], {})[r["j"]] = round(r["m"], 6)
+        cents = [
+            [by_list[i][j] for j in sorted(by_list[i])]
+            if i in by_list else cents[i]  # empty list keeps its centroid
+            for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int,
              n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN: coarse-quantize rows into ``n_lists`` inverted lists,
-    search only the ``n_probe`` lists whose centroids are closest to the
-    query. Centroids are chosen deterministically as the first
-    ``n_lists`` vectors by id (k-means-free but stable; swap in sampled
-    k-means at scale — the operator contract is identical). At 100 TB the
-    table is written partitioned by list_id, so probing prunes partitions.
-    """
-    cents = [list(r[0]) for r in
-             emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()]
+             vec_col: str = "embedding", iterations: int = 2) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize rows into ``n_lists`` inverted lists
+    (sampled-k-means centroids), search only the ``n_probe`` lists whose
+    centroids are closest to the query. At 100 TB the table is written
+    partitioned by list_id, so probing prunes partitions."""
+    cents = ivf_centroids(emb, n_lists, iterations, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
     cm = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
-    sims = (cm @ q) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(q))
-    probe_ids = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cn = np.linalg.norm(cm, axis=1) * np.linalg.norm(q)
+    sims = np.where(cn > 0, (cm @ q) / np.where(cn > 0, cn, 1.0), -1.0)
+    sims = np.round(sims, 6)  # cross-engine probe-choice stability
+    probe_ids = [int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]]
     assigned = ivf_assign(emb, cents, vec_col)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.filter(F.col("list_id").isin(probe_ids))

@@ -10,23 +10,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .. import pipeline
-from ..operators.canonicalize import build_edges, build_nodes
 from ..operators.pagerank import ppr_subgraph, ppr_topk, unrolled_ppr_sql
 from ..operators.spatial import neighbors_within
-from .kg import _cte, synth_for
+from .kg import _cte
 from .relational import _GEO_SQL, _customer_geo
 
 PPR_SEED = "Q100"  # the Zipf-hottest entity
 
 
 def _kg_edges(spark, sf_dir):
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    # checkpoint at the fan-out: triples feed nodes AND edges
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
-    nodes = build_nodes(triples, d["alias_dim"])
-    return build_edges(triples, nodes)
+    from .kg import kg_artifacts
+    return kg_artifacts(spark, sf_dir)["edges"]
 
 
 def _ppr_cte(p: str) -> str:
@@ -69,11 +63,9 @@ ORDER BY src, pred, dst""")
 def q_node_neighbors(spark, sf_dir):
     """J10: neighbor lookup for one node — outgoing edges + neighbor
     labels (reference get_node_neighbors, db/db_search.py:372-396)."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
-    nodes = build_nodes(triples, d["alias_dim"])
-    edges = build_edges(triples, nodes)
+    from .kg import kg_artifacts
+    a = kg_artifacts(spark, sf_dir)
+    nodes, edges = a["nodes"], a["edges"]
     nbr = nodes.select(F.col("qid").alias("dst"),
                        F.col("label").alias("neighbor_label"))
     return (edges.filter(F.col("src") == PPR_SEED)
@@ -117,13 +109,11 @@ ORDER BY a_id, b_id
 def q_category_vector(spark, sf_dir):
     """A1: the reference's category-count vector (main.py:240-249):
     counts of instance_of targets ordered by label."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"]).localCheckpoint()
-    nodes = build_nodes(triples, d["alias_dim"])
+    from .kg import kg_artifacts
+    a = kg_artifacts(spark, sf_dir)
+    nodes, edges = a["nodes"], a["edges"]
     tgt = nodes.select(F.col("qid").alias("dst"),
                        F.col("label").alias("category"))
-    edges = build_edges(triples, nodes)
     return (edges.filter(F.col("pred") == "instance_of")
             .join(F.broadcast(tgt), "dst")
             .groupBy("category").agg(F.count("*").alias("n"))

@@ -34,6 +34,43 @@ def synth_for(sf_dir: str) -> str:
     return ensure_synth(sf_of(sf_dir))
 
 
+# --- session-scoped KG artifact cache ---------------------------------------
+
+_ARTIFACT_MEMO: dict = {}
+
+
+def kg_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the KG pipeline outputs ONCE per (session, corpus) and reuse
+    them across every driver query callable.
+
+    The driver runs ~50 independent queries; a dozen of them consume the
+    pipeline's triples/nodes/edges. Rebuilding extraction+linking per
+    query multiplies the suite wall time ~12x for zero information — at
+    production scale these are materialized tables downstream queries
+    scan, and the localCheckpoint here is the in-process stand-in for
+    that materialization (it also truncates lineage so iterative
+    consumers like PPR re-plan from a flat scan)."""
+    p = synth_for(sf_dir)
+    key = (id(spark), p)
+    hit = _ARTIFACT_MEMO.get(key)
+    if hit is not None and hit["_session"] is spark:
+        return hit
+    d = pipeline.load_synth(spark, p)
+    statements = extract_statements(d["transcripts"]).localCheckpoint()
+    mentions = statements_to_mentions(
+        statements, d["alias_dim"]).localCheckpoint()
+    triples = pipeline.triples_from_statements(
+        statements, d["alias_dim"], d["pred_dim"]).localCheckpoint()
+    from ..operators.canonicalize import build_edges, build_nodes
+    nodes = build_nodes(triples, d["alias_dim"]).localCheckpoint()
+    edges = build_edges(triples, nodes).localCheckpoint()
+    art = {**d, "statements": statements, "mentions": mentions,
+           "triples": triples, "nodes": nodes, "edges": edges,
+           "_session": spark}
+    _ARTIFACT_MEMO[key] = art
+    return art
+
+
 # --- shared DuckDB CTE text -------------------------------------------------
 
 _PAT = STATEMENT_PATTERN  # no quotes/backslashes by construction
@@ -135,38 +172,25 @@ def _wrap(p: str, body: str) -> str:
 
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    return statements_to_mentions(
-        extract_statements(d["transcripts"]), d["alias_dim"])
+    return kg_artifacts(spark, sf_dir)["mentions"]
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    return pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"])
+    return kg_artifacts(spark, sf_dir)["triples"]
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"])
-    from ..operators.canonicalize import build_nodes
-    return build_nodes(triples, d["alias_dim"])
+    return kg_artifacts(spark, sf_dir)["nodes"]
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"])
-    from ..operators.canonicalize import build_edges, build_nodes
-    nodes = build_nodes(triples, d["alias_dim"])
-    return build_edges(triples, nodes)
+    return kg_artifacts(spark, sf_dir)["edges"]
 
 
 def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: the per-row invariant view — stable (conv_id, turn_idx) ordering
     with a text digest; row-for-row comparable at any parallelism."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    d = kg_artifacts(spark, sf_dir)
     return (pipeline.stable_turns(d["transcripts"])
             .select("conv_id", "turn_idx",
                     F.col("turn_seq").cast("long").alias("turn_seq"),
@@ -176,9 +200,7 @@ def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 analogue: per-predicate triple counts (groupBy + count + sort)."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    triples = pipeline.extract_triples(
-        d["transcripts"], d["alias_dim"], d["pred_dim"])
+    triples = kg_artifacts(spark, sf_dir)["triples"]
     return (triples.groupBy("pred")
             .agg(F.count("*").alias("n_triples"))
             .orderBy("pred"))
@@ -187,19 +209,15 @@ def q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/skew path: two-phase salted count per normalized surface form —
     must equal the plain GROUP BY count the oracle computes."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
-    mentions = statements_to_mentions(
-        extract_statements(d["transcripts"]), d["alias_dim"])
+    mentions = kg_artifacts(spark, sf_dir)["mentions"]
     return salted_counts(mentions, "norm_surface", out="n_mentions")
 
 
 def q_kg_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-style top-k over the linked-mention counts (Zipf head)."""
-    d = pipeline.load_synth(spark, synth_for(sf_dir))
+    d = kg_artifacts(spark, sf_dir)
     from ..operators.linking import link_mentions
-    mentions = statements_to_mentions(
-        extract_statements(d["transcripts"]), d["alias_dim"])
-    linked = link_mentions(mentions, d["alias_dim"])
+    linked = link_mentions(d["mentions"], d["alias_dim"])
     return (linked.groupBy("qid")
             .agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("qid").asc())
@@ -208,21 +226,25 @@ def q_kg_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/J8/A2/W2: CSV (Google-Form) source -> Manual rows with
-    monotonically assigned mid (MAX(existing)+row_number, the reference's
-    csv_reader.py:41-66 counter re-expressed as a window), equi-joined to
-    KG nodes on category==label (the instance_of edge creation,
-    csv_reader.py:89-96)."""
-    from pyspark.sql import Window
+    monotonically assigned mid continuing from MAX(mid) of the
+    pre-existing Manual set (the reference's get_last_mid + counter,
+    csv_reader.py:41-66), equi-joined to KG nodes on category==label
+    (the instance_of edge creation, csv_reader.py:89-96). Id assignment
+    is the scale-safe range-partitioned form (operators/ids.py), not a
+    single-reducer global window."""
+    from ..operators.ids import assign_global_ids
     from ..synth.generator import ensure_manual_csv
 
     p = synth_for(sf_dir)
     csv_path = ensure_manual_csv(p)
-    base_mid = 1000  # MAX(a.mid) of the pre-existing Manual set
-    w = Window.orderBy("title")
+    prev = spark.read.csv(f"{p}/manual_prev.csv", header=True)
+    mx = prev.agg(F.max(F.col("mid").cast("long")).alias("mx"))
     manual = (spark.read.csv(csv_path, header=True)
-              .select((F.row_number().over(w) + base_mid)
-                      .cast("long").alias("mid"),
-                      "title", "category"))
+              .select("title", "category"))
+    numbered = assign_global_ids(manual, ["title"], out="_rid", n_parts=4)
+    manual = (numbered.crossJoin(F.broadcast(mx))
+              .select((F.col("_rid") + F.col("mx")).cast("long")
+                      .alias("mid"), "title", "category"))
     nodes = q_kg_nodes(spark, sf_dir)
     return (manual.join(F.broadcast(nodes),
                         manual.category == nodes.label, "inner")
@@ -235,7 +257,9 @@ def _sql_csv_manual(p: str) -> str:
     return _wrap(p, f"""
         SELECT m.mid, m.title, m.category, n.qid,
                'instance_of' AS pred
-        FROM (SELECT CAST(1000 + row_number() OVER (ORDER BY title)
+        FROM (SELECT CAST((SELECT max(mid) FROM read_csv_auto(
+                          '{p}/manual_prev.csv', header = true))
+                      + row_number() OVER (ORDER BY title)
                           AS BIGINT) AS mid,
                      title, category
               FROM read_csv_auto('{p}/manual.csv', header = true)) m

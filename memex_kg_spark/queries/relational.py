@@ -57,14 +57,18 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_minmax_ids(spark, sf_dir):
     """A2: MAX-based id assignment (reference get_last_mid,
-    csv_reader.py:41-47): max key + dense row_number continuation."""
+    csv_reader.py:41-47): max key + dense continuation. Scale-safe form —
+    range-partitioned per-partition row_number + cumulative offsets
+    (operators/ids.py), NOT a global single-reducer Window.orderBy."""
+    from ..operators.ids import assign_global_ids
     c = _t(spark, sf_dir, "customer")
     mx = c.agg(F.max("c_custkey").alias("mx"))
-    w = Window.orderBy("c_name", "c_custkey")
     seg = c.filter(F.col("c_mktsegment") == "BUILDING")
-    return (seg.crossJoin(F.broadcast(mx))
-            .withColumn("new_id", F.row_number().over(w) + F.col("mx"))
-            .select("c_custkey", "c_name", F.col("new_id").cast("long")
+    numbered = assign_global_ids(seg, ["c_name", "c_custkey"], out="_rid",
+                                 n_parts=8)
+    return (numbered.crossJoin(F.broadcast(mx))
+            .select("c_custkey", "c_name",
+                    (F.col("_rid") + F.col("mx")).cast("long")
                     .alias("new_id"))
             .orderBy("new_id"))
 

@@ -1,0 +1,396 @@
+"""Service-level compositions + remaining §2 rows.
+
+- ``search_service``: the EP3 end-to-end search pipeline (reference
+  services/app.py:264-416): fulltext seed lookup -> PPR subgraph ->
+  constrained Dominant-Set clustering (seed first) -> per-result neighbor
+  annotation. The DS tail is iterative replicator dynamics (not
+  SQL-expressible), so this is a rows-only driver check; every
+  SQL-expressible stage it composes is independently green
+  (fulltext_search, ppr_subgraph, node_neighbors, dominant-set pytest).
+- ``ds_constrained``: G5 exposed directly (constrained DS weights).
+- ``graph_modularity``: G6 as a fully distributed aggregate with an
+  exact SQL oracle (modularity of the canonical_id partition).
+- ``europeana_clean``: P4 record cleaner (operators/europeana.py).
+- ``latlon_validity``: P5 coordinate-validity predicate as its own row.
+- ``ordered_distinct_tags``: A6 order-preserving distinct.
+- ``image_sink``: S10 side-effect sink manifest (operators/sinks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.europeana import clean_records, valid_latlon
+from .graphq import PPR_SEED, _kg_edges
+from .kg import _cte, kg_artifacts, synth_for
+
+FT_SEED_TERMS = ["golden", "tower"]
+
+
+# --- EP3 composition --------------------------------------------------------
+
+
+def q_search_service(spark, sf_dir):
+    """EP3: search -> PPR -> constrained DS -> neighbor annotation
+    (services/app.py:264-416, db/db_search.py:291-340). max_num=10."""
+    from ..operators.dominant_set import service_clusters
+    from ..operators.fulltext import fulltext_topk
+    from ..operators.pagerank import ppr_subgraph
+
+    a = kg_artifacts(spark, sf_dir)
+    nodes, edges = a["nodes"], a["edges"]
+    # stage 1 — fulltext seed: top-1 label match (get_top_similar)
+    label_docs = nodes.select(F.col("qid").alias("doc_id"),
+                              F.col("label").alias("text"))
+    seed_row = fulltext_topk(label_docs, FT_SEED_TERMS, k=1).first()
+    seed = seed_row["doc_id"] if seed_row else PPR_SEED
+    # stage 2 — PPR-gated subgraph (get_ppr_subgraph)
+    sub = ppr_subgraph(edges, seed, k=8).localCheckpoint()
+    # stage 3 — constrained Dominant-Set, seed cluster first
+    ranked = spark.createDataFrame(
+        service_clusters(sub, seed),
+        "rank int, cluster_id int, qid string, ds_weight double")
+    top = ranked.filter(F.col("rank") < 10)
+    # stage 4 — neighbor annotation (get_node_neighbors per result)
+    n_out = edges.groupBy("src").agg(F.count("*").alias("n_neighbors"))
+    lbl = nodes.select("qid", "label")
+    return (top.join(F.broadcast(lbl), "qid", "left")
+            .join(F.broadcast(n_out.withColumnRenamed("src", "qid")),
+                  "qid", "left")
+            .select("rank", "cluster_id", "qid", "label",
+                    F.coalesce("n_neighbors", F.lit(0)).cast("long")
+                    .alias("n_neighbors"))
+            .orderBy("rank"))
+
+
+def q_ds_constrained(spark, sf_dir):
+    """G5 direct: constrained-DS weights over the PPR subgraph of the
+    hottest entity (reference DominantSet.py:158-195). Rows-only
+    (replicator dynamics); determinism pinned in pytest."""
+    from ..operators.dominant_set import service_clusters
+    from ..operators.pagerank import ppr_subgraph
+    edges = _kg_edges(spark, sf_dir)
+    sub = ppr_subgraph(edges, PPR_SEED, k=8).localCheckpoint()
+    return (spark.createDataFrame(
+        service_clusters(sub, PPR_SEED),
+        "rank int, cluster_id int, qid string, ds_weight double")
+        .select("cluster_id", "qid", "ds_weight")
+        .orderBy("cluster_id", "qid"))
+
+
+def q_graph_modularity(spark, sf_dir):
+    """G6 distributed: Newman modularity of the canonical_id partition
+    over the undirected simple KG graph (reference
+    DominantSet.py:225-233 / networkx modularity). Self-loops excluded;
+    Q = sum_c [ e_c/m - (deg_c/2m)^2 ] — three aggregates, one small
+    join, exact SQL oracle."""
+    a = kg_artifacts(spark, sf_dir)
+    nodes, edges = a["nodes"], a["edges"]
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    comm = nodes.select("qid", "canonical_id")
+    e = (und.join(F.broadcast(comm.withColumnRenamed("qid", "a")
+                              .withColumnRenamed("canonical_id", "ca")),
+                  "a")
+         .join(F.broadcast(comm.withColumnRenamed("qid", "b")
+                           .withColumnRenamed("canonical_id", "cb")),
+               "b"))
+    m = und.count()
+    within = (e.filter(F.col("ca") == F.col("cb"))
+              .groupBy(F.col("ca").alias("c"))
+              .agg(F.count("*").alias("e_c")))
+    deg = (und.select(F.col("a").alias("qid"))
+           .unionAll(und.select(F.col("b").alias("qid")))
+           .groupBy("qid").agg(F.count("*").alias("deg"))
+           .join(F.broadcast(comm), "qid")
+           .groupBy(F.col("canonical_id").alias("c"))
+           .agg(F.sum("deg").alias("deg_c")))
+    per_c = (deg.join(within, "c", "left")
+             .select("c", F.coalesce("e_c", F.lit(0)).alias("e_c"),
+                     "deg_c"))
+    return per_c.agg(
+        F.round(F.sum(F.col("e_c") / m
+                      - F.pow(F.col("deg_c") / (2.0 * m), 2)), 6)
+        .alias("modularity"),
+        F.lit(m).cast("long").alias("m_edges"),
+        F.count("*").cast("long").alias("n_communities"))
+
+
+def sql_graph_modularity(p: str) -> str:
+    return ("WITH RECURSIVE " + _cte(p) + """
+, und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst),
+mm AS (SELECT count(*) AS m FROM und),
+comm AS (SELECT qid, canonical_id FROM nodes),
+within AS (SELECT ca.canonical_id AS c, count(*) AS e_c
+           FROM und u
+           JOIN comm ca ON u.a = ca.qid
+           JOIN comm cb ON u.b = cb.qid
+           WHERE ca.canonical_id = cb.canonical_id
+           GROUP BY ca.canonical_id),
+deg AS (SELECT c.canonical_id AS c, count(*) AS deg_c
+        FROM (SELECT a AS qid FROM und
+              UNION ALL SELECT b AS qid FROM und) d
+        JOIN comm c USING (qid)
+        GROUP BY c.canonical_id),
+per_c AS (SELECT deg.c, coalesce(w.e_c, 0) AS e_c, deg.deg_c
+          FROM deg LEFT JOIN within w ON deg.c = w.c)
+SELECT round(sum(e_c / CAST(m AS DOUBLE)
+           - (deg_c / (2.0 * m)) ^ 2), 6) AS modularity,
+       CAST(max(m) AS BIGINT) AS m_edges,
+       CAST(count(*) AS BIGINT) AS n_communities
+FROM per_c, mm""")
+
+
+# --- P4 / P5 ----------------------------------------------------------------
+
+
+def _europeana_records(spark, sf_dir):
+    """Typed synthetic Europeana records derived deterministically from
+    the documents table: list-valued title/preview, dict-valued
+    description, string lat/lon with out-of-range rows so the P5
+    predicate does real work."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sid = F.col("doc_id").cast("string")
+    return docs.select(
+        sid.alias("id"),
+        F.array(F.concat(F.lit("Doc "), sid),
+                F.lit("alternate title")).alias("title"),
+        F.create_map(F.lit("def"),
+                     F.array(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("dcDescription"),
+        F.array(F.concat(F.lit("http://img/"), sid, F.lit(".jpg")))
+        .alias("edmPreview"),
+        (F.col("doc_id") * 7 % 250 - 100).cast("string")
+        .alias("edmPlaceLatitude"),
+        (F.col("doc_id") * 13 % 400 - 200).cast("string")
+        .alias("edmPlaceLongitude"))
+
+
+def q_europeana_clean(spark, sf_dir):
+    """P4: the Europeana record cleaner
+    (ingestion/europeana_ingestion_places.py:69-120), columnar."""
+    return clean_records(_europeana_records(spark, sf_dir)).orderBy("wid")
+
+
+SQL_EUROPEANA = """
+WITH rec AS (
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CAST(doc_id * 7 % 250 - 100 AS DOUBLE) AS lat,
+           CAST(doc_id * 13 % 400 - 200 AS DOUBLE) AS lon
+    FROM documents),
+ok AS (SELECT *, (lat >= -90 AND lat <= 90
+                  AND lon >= -180 AND lon <= 180) AS valid
+       FROM rec)
+SELECT 'eid_' || id AS wid,
+       'Doc ' || id AS label,
+       '' AS description,
+       'http://img/' || id || '.jpg' AS image,
+       CASE WHEN valid THEN round(lat, 6) END AS coord_lat,
+       CASE WHEN valid THEN round(lon, 6) END AS coord_lon,
+       CASE WHEN NOT valid THEN CAST(CAST(lat AS BIGINT) AS VARCHAR) END
+           AS edmPlaceLatitude,
+       CASE WHEN NOT valid THEN CAST(CAST(lon AS BIGINT) AS VARCHAR) END
+           AS edmPlaceLongitude
+FROM ok ORDER BY wid
+"""
+
+
+def q_latlon_validity(spark, sf_dir):
+    """P5 as its own row: the valid_latlon predicate partitions the
+    synthetic coordinate stream (ingestion/utils.py:71-81)."""
+    rec = _europeana_records(spark, sf_dir)
+    lat = F.col("edmPlaceLatitude").cast("double")
+    lon = F.col("edmPlaceLongitude").cast("double")
+    return (rec.select(valid_latlon(lat, lon).alias("valid"))
+            .groupBy("valid").agg(F.count("*").alias("n"))
+            .orderBy("valid"))
+
+
+SQL_LATLON = """
+WITH rec AS (
+    SELECT CAST(doc_id * 7 % 250 - 100 AS DOUBLE) AS lat,
+           CAST(doc_id * 13 % 400 - 200 AS DOUBLE) AS lon
+    FROM documents)
+SELECT (lat >= -90 AND lat <= 90 AND lon >= -180 AND lon <= 180) AS valid,
+       count(*) AS n
+FROM rec GROUP BY valid ORDER BY valid
+"""
+
+
+# --- A6: order-preserving distinct ------------------------------------------
+
+
+def q_ordered_distinct_tags(spark, sf_dir):
+    """A6: order-preserving distinct (the reference deduped Wikidata tag
+    lists while keeping first-occurrence order, recursive_hops harvesting).
+    First 10 distinct tokens per document in order of first appearance —
+    groupBy(token) min(position), re-sorted by that position; no
+    order-destroying array_distinct."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id",
+                        F.posexplode(F.split(F.trim(F.lower(F.coalesce(
+                            F.col("text"), F.lit("")))), r"\s+"))
+                        .alias("pos", "tok"))
+            .filter(F.col("tok") != ""))
+    firsts = toks.groupBy("doc_id", "tok").agg(F.min("pos").alias("fp"))
+    return (firsts.groupBy("doc_id")
+            .agg(F.concat_ws(",", F.slice(F.transform(
+                F.array_sort(F.collect_list(F.struct("fp", "tok"))),
+                lambda s: s["tok"]), 1, 10)).alias("tags"))
+            .orderBy("doc_id"))
+
+
+SQL_ORDERED_DISTINCT = r"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(lower(coalesce(
+               text, ''))), '\s+'), 1) - 1 AS pos,
+           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                  '\s+')) AS tok
+    FROM documents),
+firsts AS (SELECT doc_id, tok, min(pos) AS fp
+           FROM toks WHERE tok <> '' GROUP BY doc_id, tok)
+SELECT doc_id,
+       array_to_string(list(tok ORDER BY fp, tok)[1:10], ',') AS tags
+FROM firsts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- S10: image side-effect sink --------------------------------------------
+
+
+def q_image_sink(spark, sf_dir):
+    """S10: the image-download side-effect sink
+    (db/extract_images.py:24-75) — foreachPartition writer with a
+    deterministic stub codec, manifest read back for verification."""
+    from ..operators.sinks import image_sink_manifest
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id",
+                    F.concat(F.lit("http://img/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".jpg")).alias("url")))
+    dest = synth_for(sf_dir) + "/images"
+    return image_sink_manifest(docs, dest).orderBy("doc_id")
+
+
+SQL_IMAGE_SINK = """
+SELECT doc_id,
+       md5('http://img/' || CAST(doc_id AS VARCHAR) || '.jpg') || '.img'
+           AS filename,
+       CAST(strlen('IMGDATA:' || 'http://img/' || CAST(doc_id AS VARCHAR)
+            || '.jpg') AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
+# --- story surface (T6/T7 native shape) -------------------------------------
+
+
+def _stories(spark, sf_dir):
+    """The reference's Story table (db/db_connection.py:263-330:
+    add_story/edit_story with title, description, coordinates) derived
+    deterministically from documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("story_id"),
+        F.concat(F.lit("story "), F.col("doc_id").cast("string"))
+        .alias("title"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+        .alias("description"),
+        ((F.col("doc_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"))
+
+
+_STORIES_SQL = """
+stories AS (SELECT doc_id AS story_id,
+                   'story ' || CAST(doc_id AS VARCHAR) AS title,
+                   substr(coalesce(text, ''), 1, 40) AS description,
+                   (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+                   (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+            FROM documents)
+"""
+
+
+def q_story_similar(spark, sf_dir):
+    """T6 native: top-10 stories most textually similar to story 1 by
+    levenshteinSimilarity over descriptions (reference
+    connect_story_by_textual_sim + get_similar_stories,
+    db/db_connection.py:382-404)."""
+    st = _stories(spark, sf_dir)
+    probe = st.filter(F.col("story_id") == 1).select(
+        F.col("description").alias("probe_desc"))
+    pairs = st.filter(F.col("story_id") != 1).crossJoin(F.broadcast(probe))
+    sim = (F.lit(1.0) - F.levenshtein("description", "probe_desc")
+           / F.greatest(F.length("description"), F.length("probe_desc")))
+    return (pairs.select("story_id", F.round(sim, 6).alias("similarity"))
+            .orderBy(F.col("similarity").desc(), F.col("story_id").asc())
+            .limit(10))
+
+
+SQL_STORY_SIMILAR = "WITH " + _STORIES_SQL + """,
+probe AS (SELECT description AS probe_desc FROM stories WHERE story_id = 1)
+SELECT story_id,
+       round(1.0 - levenshtein(description, probe_desc)
+             / greatest(length(description), length(probe_desc)), 6)
+           AS similarity
+FROM stories, probe WHERE story_id <> 1
+ORDER BY similarity DESC, story_id ASC LIMIT 10
+"""
+
+
+def q_story_by_location(spark, sf_dir):
+    """T7 native: top-10 stories nearest a point (reference
+    get_stories_by_location, db/db_search.py:261-288 shape)."""
+    from ..functions.geo import haversine_km
+    st = _stories(spark, sf_dir)
+    d = haversine_km(F.lit(41.9), F.lit(12.5), F.col("lat"), F.col("lon"))
+    return (st.select("story_id", "title",
+                      F.round(d, 4).alias("dist_km"))
+            .orderBy(F.col("dist_km").asc(), F.col("story_id").asc())
+            .limit(10))
+
+
+SQL_STORY_BY_LOCATION = "WITH " + _STORIES_SQL + """
+SELECT story_id, title,
+       round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(lat - 41.9) / 2) ^ 2 +
+           cos(radians(41.9)) * cos(radians(lat)) *
+           sin(radians(lon - 12.5) / 2) ^ 2)), 4) AS dist_km
+FROM stories ORDER BY dist_km ASC, story_id ASC LIMIT 10
+"""
+
+
+# --- registry ---------------------------------------------------------------
+
+
+def service_queries() -> dict:
+    return {
+        "search_service": q_search_service,   # rows-only (DS tail)
+        "ds_constrained": q_ds_constrained,   # rows-only (G5)
+        "graph_modularity": q_graph_modularity,
+        "europeana_clean": q_europeana_clean,
+        "latlon_validity": q_latlon_validity,
+        "ordered_distinct_tags": q_ordered_distinct_tags,
+        "image_sink": q_image_sink,
+        "story_similar": q_story_similar,
+        "story_by_location": q_story_by_location,
+    }
+
+
+def service_oracle_sql(sf: float = 0.01) -> dict:
+    from ..synth.generator import synth_dir
+    p = synth_dir(sf)
+    return {
+        "graph_modularity": sql_graph_modularity(p),
+        "europeana_clean": SQL_EUROPEANA,
+        "latlon_validity": SQL_LATLON,
+        "ordered_distinct_tags": SQL_ORDERED_DISTINCT,
+        "image_sink": SQL_IMAGE_SINK,
+        "story_similar": SQL_STORY_SIMILAR,
+        "story_by_location": SQL_STORY_BY_LOCATION,
+    }

@@ -79,8 +79,11 @@ FROM sums ORDER BY sim DESC, vec_id ASC LIMIT 10
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (multi-probe): the scale path. Rows-only driver
-    check; recall-vs-brute-force is asserted in pytest."""
+    """LSH-bucketed ANN (multi-probe): the scale path. Hyperplanes are
+    md5-derived (operators/similarity._hyperplanes), so the bucket set —
+    and hence the probed candidate list — is reproduced exactly by the
+    DuckDB oracle (SQL_ANN_LSH); recall-vs-brute-force is additionally
+    asserted in pytest."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return S.lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10,
@@ -89,12 +92,98 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN (coarse quantize -> probe nearest lists): the
-    partition-prunable scale path. Rows-only driver check; recall vs
-    brute force asserted in pytest."""
+    partition-prunable scale path. Centroids = deterministic sampled
+    k-means (md5-sampled init, 2 Lloyd steps), so the full clustering +
+    probing + top-k is replayed by the DuckDB oracle (SQL_ANN_IVF);
+    recall vs brute force additionally asserted in pytest."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return S.ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10,
                       n_lists=16, n_probe=4)
+
+
+SQL_ANN_LSH = """
+WITH vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+planes AS (SELECT p, j,
+                  CAST(('0x' || substr(md5('lsh:42:' || p || ':' || j),
+                                       1, 8)) AS BIGINT)
+                      / 4294967296.0 - 0.5 AS w
+           FROM (SELECT unnest(range(0, 8)) AS p),
+                (SELECT unnest(range(0, 64)) AS j)),
+dots AS (SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+         FROM vecs v JOIN planes pl USING (j)
+         GROUP BY v.vec_id, pl.p),
+sig AS (SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket AS q FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sig s, qb
+         WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qb.q)) <= 2),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(qv.qvec) AS DOUBLE) AS y
+          FROM embeddings e JOIN cand USING (vec_id), qv),
+sums AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS nx,
+                sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim
+FROM sums ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_semantic_geo_topk(spark, sf_dir):
+    """T2/EP3 headline: the COMPOSED geo-gated semantic search — radius
+    filter + cosine similarity, ORDER BY similarity DESC, dist ASC
+    (reference get_within_radius_w2v, db/db_search.py:72-97, invoked from
+    get_top_similar_closest :214-237). The reference fetches EVERY
+    in-radius row to the client and slices ``results[:n]`` in Python
+    (:237 — the missing-LIMIT bug); here the LIMIT is part of the plan
+    and collapses to TakeOrderedAndProject (pinned in test_plans.py)."""
+    from ..functions.geo import haversine_km
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    g = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding",
+        ((F.col("vec_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("vec_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"))
+    d = haversine_km(F.lit(41.9), F.lit(12.5), F.col("lat"), F.col("lon"))
+    return (g.withColumn("dist_km", F.round(d, 4))
+            .filter(F.col("dist_km") < 6000.0)
+            .select("vec_id",
+                    F.round(S.cosine(F.col("embedding"), q), 4)
+                    .alias("sim"),
+                    "dist_km")
+            .orderBy(F.col("sim").desc(), F.col("dist_km").asc(),
+                     F.col("vec_id").asc())
+            .limit(10))
+
+
+SQL_SEMANTIC_GEO = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+geo AS (SELECT vec_id, embedding,
+               (vec_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (vec_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM embeddings WHERE vec_id <> 0),
+gated AS (SELECT vec_id, embedding,
+                 round(2 * 6371.0088 * asin(sqrt(
+                     sin(radians(lat - 41.9) / 2) ^ 2 +
+                     cos(radians(41.9)) * cos(radians(lat)) *
+                     sin(radians(lon - 12.5) / 2) ^ 2)), 4) AS dist_km
+          FROM geo),
+pairs AS (SELECT g.vec_id, g.dist_km,
+                 CAST(unnest(g.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(q.qv) AS DOUBLE) AS y
+          FROM gated g, q WHERE g.dist_km < 6000.0),
+sums AS (SELECT vec_id, dist_km, sum(x * y) AS d, sum(x * x) AS nx,
+                sum(y * y) AS ny
+         FROM pairs GROUP BY vec_id, dist_km)
+SELECT vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim, dist_km
+FROM sums ORDER BY sim DESC, dist_km ASC, vec_id ASC LIMIT 10
+"""
 
 
 def q_knn_label_vote(spark, sf_dir):
@@ -138,6 +227,75 @@ ranked AS (SELECT a_id, b_id, label,
            FROM sums)
 SELECT a_id, label, count(*) AS votes FROM ranked WHERE rk <= 5
 GROUP BY a_id, label ORDER BY a_id, votes DESC, label
+"""
+
+
+SQL_ANN_IVF = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM base),
+init AS (SELECT list_id, vec_id FROM (
+             SELECT vec_id, row_number() OVER (
+                 ORDER BY md5('7:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS list_id
+             FROM base) WHERE list_id < 16),
+c0 AS MATERIALIZED (SELECT i.list_id, v.j, v.x AS w
+                    FROM init i JOIN vecs v USING (vec_id)),
+d1 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.w) AS dot,
+              sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.w * c.w)) AS nc
+       FROM vecs v JOIN c0 c USING (j) GROUP BY v.vec_id, c.list_id),
+a1 AS MATERIALIZED (SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+              ORDER BY CASE WHEN nv * nc > 0
+                            THEN round(dot / (nv * nc), 6)
+                            ELSE -1.0 END DESC, list_id ASC) AS rk
+          FROM d1) WHERE rk = 1),
+m1 AS (SELECT a.list_id, v.j, round(avg(v.x), 6) AS m
+       FROM a1 a JOIN vecs v USING (vec_id) GROUP BY a.list_id, v.j),
+c1 AS MATERIALIZED (SELECT c0.list_id, c0.j, coalesce(m1.m, c0.w) AS w
+                    FROM c0 LEFT JOIN m1 USING (list_id, j)),
+d2 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.w) AS dot,
+              sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.w * c.w)) AS nc
+       FROM vecs v JOIN c1 c USING (j) GROUP BY v.vec_id, c.list_id),
+a2 AS MATERIALIZED (SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+              ORDER BY CASE WHEN nv * nc > 0
+                            THEN round(dot / (nv * nc), 6)
+                            ELSE -1.0 END DESC, list_id ASC) AS rk
+          FROM d2) WHERE rk = 1),
+m2 AS (SELECT a.list_id, v.j, round(avg(v.x), 6) AS m
+       FROM a2 a JOIN vecs v USING (vec_id) GROUP BY a.list_id, v.j),
+c2 AS MATERIALIZED (SELECT c1.list_id, c1.j, coalesce(m2.m, c1.w) AS w
+                    FROM c1 LEFT JOIN m2 USING (list_id, j)),
+d3 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.w) AS dot,
+              sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.w * c.w)) AS nc
+       FROM vecs v JOIN c2 c USING (j) GROUP BY v.vec_id, c.list_id),
+a3 AS (SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+              ORDER BY CASE WHEN nv * nc > 0
+                            THEN round(dot / (nv * nc), 6)
+                            ELSE -1.0 END DESC, list_id ASC) AS rk
+          FROM d3) WHERE rk = 1),
+qv AS MATERIALIZED (SELECT generate_subscripts(embedding, 1) - 1 AS j,
+                           CAST(unnest(embedding) AS DOUBLE) AS y
+                    FROM embeddings WHERE vec_id = 0),
+pq AS (SELECT c.list_id, sum(q.y * c.w) AS dot,
+              sqrt(sum(q.y * q.y)) AS nq, sqrt(sum(c.w * c.w)) AS nc
+       FROM qv q JOIN c2 c USING (j) GROUP BY c.list_id),
+probes AS (SELECT list_id FROM (
+               SELECT list_id, row_number() OVER (
+                   ORDER BY CASE WHEN nq * nc > 0
+                                 THEN round(dot / (nq * nc), 6)
+                                 ELSE -1.0 END DESC, list_id ASC) AS rk
+               FROM pq) WHERE rk <= 4),
+cand AS (SELECT a3.vec_id FROM a3 JOIN probes USING (list_id)),
+fp AS (SELECT v.vec_id, sum(v.x * q.y) AS d, sqrt(sum(v.x * v.x)) AS nx,
+              sqrt(sum(q.y * q.y)) AS ny
+       FROM vecs v JOIN cand USING (vec_id) JOIN qv q USING (j)
+       GROUP BY v.vec_id)
+SELECT vec_id, round(d / (nx * ny), 4) AS sim
+FROM fp ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
 
 
@@ -298,8 +456,9 @@ FROM norms GROUP BY label ORDER BY label
 def vector_queries() -> dict:
     return {
         "ann_brute_topk": q_ann_brute_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,  # rows-only (numpy hyperplanes)
-        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate by design)
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_geo_topk": q_semantic_geo_topk,
         "knn_label_vote": q_knn_label_vote,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -313,6 +472,9 @@ def vector_queries() -> dict:
 def vector_oracle_sql() -> dict:
     return {
         "ann_brute_topk": SQL_ANN_BRUTE,
+        "ann_lsh_topk": SQL_ANN_LSH,
+        "ann_ivf_topk": SQL_ANN_IVF,
+        "semantic_geo_topk": SQL_SEMANTIC_GEO,
         "knn_label_vote": SQL_KNN_VOTE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -296,6 +296,7 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
         os.path.join(tmp, "alias_dim.parquet"), index=False)
     build_pred_dim().to_parquet(
         os.path.join(tmp, "pred_dim.parquet"), index=False)
+    ensure_manual_csv(tmp)  # CSVs up-front: oracle SQL is self-contained
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(f"seed={SEED} sf={sf} n_convs={n_convs_for_sf(sf)}\n")
     if os.path.exists(d):  # lost a race with a parallel generator — fine
@@ -303,6 +304,7 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
         shutil.rmtree(tmp)
     else:
         os.rename(tmp, d)
+    ensure_manual_csv(d)  # pre-existing dirs from older generator versions
     return d
 
 
@@ -316,7 +318,8 @@ def ensure_manual_csv(synth_path: str) -> str:
     import csv
 
     path = os.path.join(synth_path, "manual.csv")
-    if os.path.exists(path):
+    prev = os.path.join(synth_path, "manual_prev.csv")
+    if os.path.exists(path) and os.path.exists(prev):
         return path
     from .vocab import entity_name
 
@@ -333,4 +336,14 @@ def ensure_manual_csv(synth_path: str) -> str:
                 entity_name((i * 3) % N_ENTITIES),
             ])
     os.replace(tmp, path)
+    # the pre-existing Manual set: the A2 rule continues ids from
+    # MAX(mid) of rows already in the store (csv_reader.py:41-47) —
+    # deterministic sparse mids so MAX is a real computation, not a guess
+    tmp = prev + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["mid", "title"])
+        for i in range(25):
+            w.writerow([37 + i * 40 + (i * i) % 7, f"legacy item {i:02d}"])
+    os.replace(tmp, prev)
     return path
