@@ -447,6 +447,9 @@ def main() -> None:
     # window anywhere (this round or a previous one) beats whatever a
     # noisy window says today. Both are reported; `scaling` holds the
     # best-known-clean pair, `scaling_this_run` today's raw attempt.
+    sm = {c: results[c].get("stagemin_total",
+                            results[c]["pipeline_total"])
+          for c in (lo, hi)}
     pair_now = {
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "corpus_sf": bench_sf,
@@ -457,12 +460,18 @@ def main() -> None:
         "cal_hi_best": results[hi].get("cal_ratio", 99),
         "tput_lo": tput[lo], "tput_hi": tput[hi],
         "efficiency": efficiency,
+        "stage_mins_lo": results[lo].get("stage_mins"),
+        "stage_mins_hi": results[hi].get("stage_mins"),
+        "stagemin_wall_lo": sm[lo], "stagemin_wall_hi": sm[hi],
+        "stagemin_efficiency": round((sm[lo] / sm[hi]) / (hi / lo), 3),
     }
     best_pair = _merge_best_pair(pair_now)
 
     queries = {f"kg_{k}": v for k, v in results[cpus].items()
                if k not in ("n_triples", "all_runs", "cal_ratios",
-                            "cal_ratio")}
+                            "cal_ratio", "stage_mins", "stagemin_total")}
+    queries["kg_stagemin_total"] = results[cpus].get(
+        "stagemin_total", results[cpus]["pipeline_total"])
     queries.update(aux)
 
     line = {

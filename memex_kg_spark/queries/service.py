@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..operators.europeana import clean_records, valid_latlon
@@ -365,6 +367,41 @@ FROM stories ORDER BY dist_km ASC, story_id ASC LIMIT 10
 """
 
 
+# --- §2.10: custom stateful streaming, driver-checkable ---------------------
+
+
+def q_stream_conv_counts(spark, sf_dir):
+    """Per-conversation turn totals computed by the applyInPandasWithState
+    streaming operator (streaming/stateful.py) draining the transcript
+    corpus in 3 micro-batches — the cross-batch state path, with a plain
+    batch GROUP BY as the oracle. Input split + checkpoints live under
+    the synth dir; the split is idempotent."""
+    import tempfile
+    import uuid
+    from ..streaming.stateful import conv_turn_counts_stateful
+
+    p = synth_for(sf_dir)
+    stream_in = f"{p}/stream_in"
+    if not os.path.exists(f"{stream_in}/_SPLIT_DONE"):
+        tr = spark.read.parquet(f"{p}/transcripts.parquet")
+        for i in range(3):
+            (tr.filter(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(3)) == i)
+             .coalesce(1).write.mode("append").parquet(stream_in))
+        with open(f"{stream_in}/_SPLIT_DONE", "w") as fh:
+            fh.write("ok")
+    ck = tempfile.mkdtemp(prefix="kg_stream_ck_")
+    name = "conv_counts_" + uuid.uuid4().hex[:8]
+    return (conv_turn_counts_stateful(spark, stream_in, ck,
+                                      query_name=name)
+            .orderBy("conv_id"))
+
+
+def _sql_stream_conv_counts(p: str) -> str:
+    return (f"SELECT conv_id, count(*) AS n_turns FROM "
+            f"read_parquet('{p}/transcripts.parquet') "
+            f"GROUP BY conv_id ORDER BY conv_id")
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -379,6 +416,7 @@ def service_queries() -> dict:
         "image_sink": q_image_sink,
         "story_similar": q_story_similar,
         "story_by_location": q_story_by_location,
+        "stream_conv_counts": q_stream_conv_counts,
     }
 
 
@@ -393,4 +431,5 @@ def service_oracle_sql(sf: float = 0.01) -> dict:
         "image_sink": SQL_IMAGE_SINK,
         "story_similar": SQL_STORY_SIMILAR,
         "story_by_location": SQL_STORY_BY_LOCATION,
+        "stream_conv_counts": _sql_stream_conv_counts(p),
     }
