@@ -53,6 +53,11 @@ def all_queries() -> dict:
 
 
 def all_oracle_sql() -> dict:
+    # oracle SQL reads the synthetic corpus by absolute path; materialize
+    # it up front (pure-pandas, idempotent) so an oracle-first evaluation
+    # order cannot hit file-not-found (ADVICE r01)
+    from ..synth.generator import ensure_synth
+    ensure_synth(0.01)
     out: dict = {}
     out.update(kg_oracle_sql())
     out.update(relational_oracle_sql())
