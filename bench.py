@@ -255,14 +255,14 @@ def _merge_best_stages(cores: int, corpus_sf: float, stage_walls: dict,
     for st, wall in stage_walls.items():
         cal = round(stage_cal_ratios.get(st, 99), 2)
         cur = ent.get(st)
-        # cleanliness dominates; below the clean threshold prefer speed
-        cand_q = (cal > CAL_CLEAN_MAX, wall) if cal <= CAL_CLEAN_MAX \
-            else (True, cal)
+        # clean samples beat dirty ones; within either class the LOWER
+        # WALL wins — noise only inflates, so any sample's wall is an
+        # upper bound on the clean time and the smallest bound is the
+        # tightest (a dirty sample's cal says nothing about bound quality)
+        cand_q = (cal > CAL_CLEAN_MAX, wall)
         cur_q = None
         if cur is not None:
-            cur_q = ((cur["cal"] > CAL_CLEAN_MAX, cur["wall"])
-                     if cur["cal"] <= CAL_CLEAN_MAX
-                     else (True, cur["cal"]))
+            cur_q = (cur["cal"] > CAL_CLEAN_MAX, cur["wall"])
         if cur is None or cand_q < cur_q:
             ent[st] = {"wall": wall, "cal": cal,
                        "at": time.strftime("%Y-%m-%d %H:%M:%S")}
@@ -299,6 +299,34 @@ def stagewise_clean_summary(lo: int, hi: int, corpus_sf: float
     return {"all_clean": True, "lo": ent_lo, "hi": ent_hi,
             "wall_lo_sec": wall_lo, "wall_hi_sec": wall_hi,
             "efficiency": round((wall_lo / wall_hi) / (hi / lo), 3)}
+
+
+def all_stagewise_clean(lo: int, hi: int) -> dict:
+    """Stagewise-clean summaries for EVERY corpus size present in the
+    accumulator under the current workload hash — the driver's bench may
+    run at one corpus size while clean evidence was harvested at another;
+    report all of it."""
+    path = os.path.join(REPO, "BENCH", "best_stages.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    wh = workload_hash()
+    sfs = set()
+    for k in data:
+        parts = k.split("|")
+        if len(parts) == 3 and parts[0] == wh and parts[1].startswith("sf"):
+            try:
+                sfs.add(float(parts[1][2:]))
+            except ValueError:
+                pass
+    out = {}
+    for sf in sorted(sfs):
+        s = stagewise_clean_summary(lo, hi, sf)
+        if s is not None:
+            out[f"sf{sf:g}"] = s
+    return out
 
 
 def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
@@ -597,7 +625,7 @@ def main() -> None:
         "triples_per_sec": tput[cpus],
         "headline_best_known": headline_best,
         "scaling": best_pair,
-        "scaling_stagewise_clean": stagewise_clean_summary(lo, hi, bench_sf),
+        "scaling_stagewise_clean": all_stagewise_clean(lo, hi),
         "scaling_this_run": {
             **pair_now,
             "runs_lo": results[lo]["all_runs"],
