@@ -1,0 +1,86 @@
+"""Spark-free unit tests for bench.py's measurement estimators.
+
+The scaling evidence the north rule asks for is assembled from per-stage
+clean samples (BENCH/best_stages.json) by ``stagewise_clean_summary`` and
+decomposed by ``amdahl_fit`` — both pure functions over the accumulator,
+so their algebra is pinned here without a SparkSession.
+"""
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _entry(walls, cal=1.0):
+    return {st: {"wall": w, "cal": cal, "at": "t"}
+            for st, w in zip(("extract_mentions", "link_and_triples",
+                              "nodes_edges"), walls)}
+
+
+def test_amdahl_exact_recovery():
+    # Construct T(c) = f + W/c exactly and check the fit recovers f, W.
+    f = {"extract_mentions": 2.0, "link_and_triples": 1.5,
+         "nodes_edges": 1.0}
+    w = {"extract_mentions": 12.0, "link_and_triples": 20.0,
+         "nodes_edges": 2.0}
+    lo_walls = [f[s] + w[s] / 2 for s in f]
+    hi_walls = [f[s] + w[s] / 8 for s in f]
+    data = {"wh|sf1|c2": _entry(lo_walls), "wh|sf1|c8": _entry(hi_walls)}
+    fit = bench.amdahl_fit(2, 8, data=data, wh="wh")
+    for st in f:
+        assert abs(fit["per_sf"]["sf1"][st]["f_sec"] - f[st]) < 1e-6
+        assert abs(fit["per_sf"]["sf1"][st]["w_sec"] - w[st]) < 1e-6
+    # With zero fixed cost the model efficiency is 1 at every sf; with
+    # these f the curve must be monotonically increasing toward 1.
+    curve = list(fit["model_efficiency_by_sf"].values())
+    assert all(b >= a for a, b in zip(curve, curve[1:]))
+    assert curve[-1] > 0.99
+
+
+def test_amdahl_skips_dirty_samples():
+    data = {
+        "wh|sf1|c2": _entry([10.0, 10.0, 10.0]),
+        "wh|sf1|c8": {**_entry([4.0, 4.0, 4.0]),
+                      "nodes_edges": {"wall": 4.0, "cal": 9.9, "at": "t"}},
+    }
+    fit = bench.amdahl_fit(2, 8, data=data, wh="wh")
+    assert "nodes_edges" not in fit["per_sf"]["sf1"]
+    assert "extract_mentions" in fit["per_sf"]["sf1"]
+
+
+def test_amdahl_unit_work_constant_across_sf():
+    # W scales linearly with sf, f constant -> w_sec_per_sf identical.
+    def walls(sf, c):
+        return [1.0 + 8.0 * sf / c, 0.5 + 16.0 * sf / c, 0.2 + 2.0 * sf / c]
+
+    data = {}
+    for sf in (1, 3):
+        data[f"wh|sf{sf}|c2"] = _entry(walls(sf, 2))
+        data[f"wh|sf{sf}|c8"] = _entry(walls(sf, 8))
+    fit = bench.amdahl_fit(2, 8, data=data, wh="wh")
+    assert abs(fit["work_sec_per_sf_mean"]["extract_mentions"] - 8.0) < 1e-6
+    f1 = fit["per_sf"]["sf1"]["link_and_triples"]["f_sec"]
+    f3 = fit["per_sf"]["sf3"]["link_and_triples"]["f_sec"]
+    assert abs(f1 - f3) < 1e-6
+
+
+def test_stagewise_summary_requires_all_clean(tmp_path, monkeypatch):
+    import json
+    wh = "wh"
+    monkeypatch.setattr(bench, "workload_hash", lambda: wh)
+    data = {f"{wh}|sf1|c2": _entry([10.0, 10.0, 2.0]),
+            f"{wh}|sf1|c8": _entry([3.0, 3.0, 1.0], cal=5.0)}
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    bpath = tmp_path / "BENCH" / "best_stages.json"
+    bpath.write_text(json.dumps(data))
+    s = bench.stagewise_clean_summary(2, 8, 1.0)
+    assert s is not None and s["all_clean"] is False
+    # clean both levels -> composite efficiency = (22/4)/(7) = wall ratio /4
+    data[f"{wh}|sf1|c8"] = _entry([3.0, 3.0, 1.0], cal=1.1)
+    bpath.write_text(json.dumps(data))
+    s = bench.stagewise_clean_summary(2, 8, 1.0)
+    assert s["all_clean"] is True
+    assert abs(s["efficiency"] - (22.0 / 7.0) / 4.0) < 1e-3
