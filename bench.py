@@ -841,6 +841,36 @@ def _write_bench_md(line: dict) -> None:
             f"(target >= 0.8)\n\n"
             f"per-stage (local[{line['cpus']}]): "
             f"{json.dumps(line['queries'])}\n")
+        swc = line.get("scaling_stagewise_clean") or {}
+        for sfk, summ in swc.items():
+            if not summ:
+                continue
+            if summ.get("all_clean"):
+                f.write(
+                    f"\nstagewise-clean pair ({sfk}, every stage at both "
+                    f"levels individually bracketed cal<=1.5, "
+                    f"BENCH/best_stages.json): local[{s['cores_lo']}] "
+                    f"{summ['wall_lo_sec']} s vs local[{s['cores_hi']}] "
+                    f"{summ['wall_hi_sec']} s -> efficiency = "
+                    f"**{summ['efficiency']}** (target >= 0.8)\n")
+            else:
+                dirty = [f"{lvl}:{st}" for lvl in ("lo", "hi")
+                         for st, v in (summ.get(lvl) or {}).items()
+                         if v.get("cal", 99) > CAL_CLEAN_MAX]
+                f.write(f"\nstagewise-clean pair ({sfk}): incomplete — "
+                        f"stages still lacking a clean sample: {dirty}\n")
+        am = line.get("amdahl") or {}
+        if am.get("per_sf"):
+            f.write(
+                f"\nAmdahl fit from clean stage samples "
+                f"(T(c)=f+W/c per stage): fixed f = "
+                f"{json.dumps(am.get('fixed_sec_mean'))} s, work W/sf = "
+                f"{json.dumps(am.get('work_sec_per_sf_mean'))} s; "
+                f"model efficiency by corpus size: "
+                f"{json.dumps(am.get('model_efficiency_by_sf'))} — fixed "
+                f"per-job cost (scheduler, Python-worker spawn, broadcast "
+                f"build) is what bounds small-corpus efficiency; the "
+                f"parallel work itself scales.\n")
 
 
 if __name__ == "__main__":
