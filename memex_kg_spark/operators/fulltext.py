@@ -61,9 +61,12 @@ def fulltext_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     df_counts = index["df"]
     q = docs.sparkSession.createDataFrame(
         [(t.lower(),) for t in query_terms], ["term"]).distinct()
+    # df restricted to query terms BEFORE the broadcast: the full df table
+    # is vocabulary-sized (millions of terms at corpus scale) and must
+    # never ship whole; q-joined it is |query_terms| rows.
+    dfq = df_counts.join(F.broadcast(q), "term")
     scored = (postings
-              .join(F.broadcast(q), "term")
-              .join(F.broadcast(df_counts), "term")
+              .join(F.broadcast(dfq), "term")
               .withColumn("w", F.col("tf")
                           * F.log(F.lit(1.0) + F.lit(float(n_docs))
                                   / F.col("df")))

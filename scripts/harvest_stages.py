@@ -27,6 +27,9 @@ TARGETS = [
     (3.0, 2, 600.0, 4),
     (1.0, 8, 240.0, 4),
     (1.0, 2, 240.0, 3),
+    # headline level: clean c32 stage samples feed the
+    # headline_stagewise_bound reported next to the measured headline
+    (3.0, 32, 300.0, 4),
 ]
 
 
@@ -46,9 +49,12 @@ def main() -> None:
     it = 0
     while time.time() - t0 < budget:
         s3 = pair_state(3.0)
-        if s3 and s3.get("all_clean") and s3.get("efficiency", 0) >= 0.8:
+        hb = bench.headline_stagewise_bound(32, 3.0)
+        if (s3 and s3.get("all_clean") and s3.get("efficiency", 0) >= 0.8
+                and hb and hb.get("all_clean")):
             print(f"DONE: sf3 stagewise-clean efficiency "
-                  f"{s3['efficiency']}", flush=True)
+                  f"{s3['efficiency']}, headline bound "
+                  f"{hb['wall_sec_bound']} s", flush=True)
             break
         # pick the neediest target this iteration
         todo = [(sf, c, b, r) for sf, c, b, r in TARGETS
