@@ -32,9 +32,11 @@ STAGES = ("extract_mentions", "link_and_triples", "nodes_edges")
 # targets that fit them.
 TARGETS = [
     (1.0, 8, 90.0, 3),
+    (2.0, 8, 120.0, 3),
     (3.0, 32, 120.0, 3),
     (3.0, 8, 150.0, 3),
     (1.0, 2, 120.0, 3),
+    (2.0, 2, 200.0, 3),
     (3.0, 2, 300.0, 3),
 ]
 GATE_RATIO = 1.3      # probe ratio vs floor that counts as "clean now"
