@@ -420,6 +420,62 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
     spark.stop()
 
 
+def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
+               gate: float = 1.3, poll_s: float = 12.0) -> None:
+    """Warm-JVM clean-window sniper.
+
+    The host's clean windows are only minutes long; launching a fresh
+    bench invocation on window-open loses 20-30 s to JVM startup,
+    Python-worker spawn and broadcast builds, and the window often closes
+    mid-run (the v1 harvester failure mode). Camp instead: build the
+    session and run one untimed warm pass up front (any host state),
+    then idle-poll the bandwidth probe IN-PROCESS and fire a measured
+    run the instant the ratio vs the persisted floor reads clean — the
+    warm JVM turns a 2-minute window into a usable sample. Exits when
+    this (cores, corpus) level's banked entry is all-clean or the budget
+    runs out."""
+    t0 = time.time()
+    import re as _re
+    m_sf = _re.search(r"sf([0-9.]+)", os.path.basename(
+        os.path.normpath(synth_path)))
+    corpus_sf = float(m_sf.group(1)) if m_sf else 0.0
+    stages = ("extract_mentions", "link_and_triples", "nodes_edges")
+
+    def entry_clean() -> bool:
+        ent = read_best_stages(cores, corpus_sf) or {}
+        return all(st in ent and ent[st]["cal"] <= CAL_CLEAN_MAX
+                   for st in stages)
+
+    if entry_clean():
+        print(f"CAMP c{cores} sf{corpus_sf:g}: already clean", flush=True)
+        return
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm = run_pipeline(spark, synth_path)  # warm-up; never banked
+    n_known = warm["n_triples"]
+    print(f"CAMP c{cores} sf{corpus_sf:g}: warm "
+          f"{warm['pipeline_total']} s, polling", flush=True)
+    while time.time() - t0 < budget_s and not entry_clean():
+        t = _calibrate()
+        floor = _cal_floor(update=t)
+        if t / floor > gate:
+            time.sleep(poll_s)
+            continue
+        res = run_pipeline(spark, synth_path, known_n_triples=n_known,
+                           probe=_calibrate)
+        raw = res.pop("stage_cals", {})
+        floor_now = _cal_floor()
+        ratios = {k: v / floor_now for k, v in raw.items()}
+        _merge_best_stages(cores, corpus_sf,
+                           {k: res[k] for k in ratios}, ratios)
+        print("CAMP run " + json.dumps(
+            {k: (res[k], round(ratios[k], 2)) for k in ratios}),
+            flush=True)
+    print(f"CAMP c{cores} sf{corpus_sf:g}: exit clean={entry_clean()}",
+          flush=True)
+    spark.stop()
+
+
 def pair_main() -> None:
     """Scaling-pair-only capture, clean-gated: waits (bounded) for the
     host to be in a quiet phase before measuring each level, measures the
@@ -917,6 +973,8 @@ if __name__ == "__main__":
         a = ap.parse_args()
         if a.stage == "gen":
             stage_gen(a.sf, a.cores)
+        elif a.stage == "camp":
+            stage_camp(a.cores, a.synth, budget_s=a.budget)
         else:
             stage_run(a.cores, a.synth, a.sf_dir, a.aux,
                       repeat=a.repeat, budget_s=a.budget)

@@ -2,12 +2,13 @@
 
 The host shows multi-minute noise phases (see bench._calibrate) during
 which every Spark wall inflates 3-10x; clean windows are minutes long and
-irregular. v1 of this loop ran full bench invocations back-to-back and so
-spent most of its wall inside noise phases. v2 GATES on the cheap
-bandwidth probe instead: it idle-polls (~0.1 s probe every 15 s) until
-the host reads clean, then immediately fires a short bench invocation for
-the neediest target — cheapest target first, so even a 2-3 minute window
-banks something. Per-stage minima accumulate in BENCH/best_stages.json.
+irregular. v1 ran full bench invocations back-to-back and spent most of
+its wall inside noise phases; v2 gated launches on the cheap bandwidth
+probe but still lost each window's first 20-30 s to JVM spinup. v3
+sequences warm-JVM CAMPS (bench.stage_camp): each target keeps a warmed
+session idling, polls the probe in-process, and fires a measured run the
+instant the host reads clean. Per-stage minima accumulate in
+BENCH/best_stages.json.
 
 Stop condition: the sf3 local[2]/local[8] stagewise-clean pair exists
 with efficiency >= 0.8 AND the local[32] headline bound is clean, or the
@@ -26,21 +27,21 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 STAGES = ("extract_mentions", "link_and_triples", "nodes_edges")
-# (corpus_sf, cores, per-invocation budget_s, repeats) — CHEAPEST FIRST:
-# expected clean walls/run: c32 sf3 ~15-20 s, c8 sf3 ~20-25 s, c8 sf1
-# ~10 s, c2 sf3 ~60-70 s, c2 sf1 ~23 s. Short windows should go to the
-# targets that fit them.
+# (corpus_sf, cores, camp budget_s) — CHEAPEST MEASURED RUN FIRST:
+# expected clean walls/run: c8 sf1 ~10 s, c8 sf2 ~15 s, c32 sf3 ~15-20 s,
+# c8 sf3 ~20-25 s, c2 sf1 ~23 s, c2 sf2 ~45 s, c2 sf3 ~60-70 s. Short
+# windows should go to the targets that fit them; each target runs as a
+# warm-JVM camp (bench.stage_camp) that fires the moment the probe reads
+# clean, so JVM spinup never eats the window.
 TARGETS = [
-    (1.0, 8, 90.0, 3),
-    (2.0, 8, 120.0, 3),
-    (3.0, 32, 120.0, 3),
-    (3.0, 8, 150.0, 3),
-    (1.0, 2, 120.0, 3),
-    (2.0, 2, 200.0, 3),
-    (3.0, 2, 300.0, 3),
+    (1.0, 8, 600.0),
+    (2.0, 8, 700.0),
+    (3.0, 32, 800.0),
+    (3.0, 8, 800.0),
+    (1.0, 2, 700.0),
+    (2.0, 2, 900.0),
+    (3.0, 2, 1100.0),
 ]
-GATE_RATIO = 1.3      # probe ratio vs floor that counts as "clean now"
-POLL_SEC = 15.0
 
 
 def dirty_stages(sf: float, cores: int) -> list[str]:
@@ -61,16 +62,9 @@ def done() -> bool:
                 and hb and hb.get("all_clean"))
 
 
-def probe_ratio() -> float:
-    t = bench._calibrate()
-    floor = bench._cal_floor(update=t)
-    return t / floor
-
-
 def main() -> None:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 3600.0
     t0 = time.time()
-    last_report = 0.0
     while time.time() - t0 < budget:
         if done():
             s3 = pair_state(3.0)
@@ -79,34 +73,29 @@ def main() -> None:
                   f"{s3['efficiency']}, headline bound "
                   f"{hb['wall_sec_bound']} s", flush=True)
             break
-        r = probe_ratio()
-        if time.time() - last_report > 120:
-            print(f"[{time.strftime('%H:%M:%S')}] probe ratio {r:.2f}",
-                  flush=True)
-            last_report = time.time()
-        if r > GATE_RATIO:
-            time.sleep(POLL_SEC)
-            continue
-        # clean window: fire the neediest target, cheapest first
-        todo = [(sf, c, b, rep) for sf, c, b, rep in TARGETS
-                if dirty_stages(sf, c)]
+        todo = [(sf, c, b) for sf, c, b in TARGETS if dirty_stages(sf, c)]
         if not todo:
             # everything has clean samples but the sf3 efficiency is
-            # below target: polish sf3 walls (lower wall wins within the
-            # clean class)
-            todo = [t for t in TARGETS if t[0] == 3.0]
-        sf, cores, b, rep = todo[0]
+            # below target: nothing a re-camp can improve quickly (camps
+            # exit immediately on an all-clean entry); stop here.
+            print("all targets clean; stopping", flush=True)
+            break
+        # rotate among dirty targets so a windowless camp on one level
+        # cannot starve the others (cheapest still goes first overall)
+        main.rr = getattr(main, "rr", -1) + 1
+        sf, cores, b = todo[main.rr % len(todo)]
+        remaining = budget - (time.time() - t0)
+        b = min(b, max(remaining, 60.0))
         synth = os.path.join(REPO, ".synth", f"sf{sf:g}")
-        print(f"[{time.strftime('%H:%M:%S')}] clean (ratio {r:.2f}) -> "
-              f"harvest sf{sf:g} c{cores} "
-              f"(dirty: {dirty_stages(sf, cores)})", flush=True)
+        print(f"[{time.strftime('%H:%M:%S')}] camp sf{sf:g} c{cores} "
+              f"budget {b:.0f}s (dirty: {dirty_stages(sf, cores)})",
+              flush=True)
         subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
-             "--stage", "run", "--cores", str(cores),
-             "--synth", synth, "--sf-dir", "/root/testdata/sf0.1",
-             "--budget", str(b), "--repeat", str(rep)],
-            cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        for sfx in (1.0, 3.0):
+             "--stage", "camp", "--cores", str(cores),
+             "--synth", synth, "--budget", str(b)],
+            cwd=REPO)
+        for sfx in (1.0, 2.0, 3.0):
             st = pair_state(sfx)
             if st:
                 print(f"  sf{sfx:g}: all_clean={st.get('all_clean')} "
