@@ -449,28 +449,91 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     if entry_clean():
         print(f"CAMP c{cores} sf{corpus_sf:g}: already clean", flush=True)
         return
+    from concurrent.futures import ThreadPoolExecutor
+
+    from memex_kg_spark import pipeline
+    from memex_kg_spark.operators.canonicalize import build_edges, build_nodes
+    from memex_kg_spark.operators.extraction import (
+        extract_statements, statements_to_mentions)
+    from memex_kg_spark.operators.linking import link_mentions
+
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    warm = run_pipeline(spark, synth_path)  # warm-up; never banked
-    n_known = warm["n_triples"]
+    d = pipeline.load_synth(spark, synth_path)
+    caches: dict = {}
+
+    # Stage bodies IDENTICAL to run_pipeline's — samples must stay
+    # comparable with stage_run's. Upstream inputs come from the same
+    # persisted frames a full run would have left in memory, so a
+    # re-timed stage measures exactly the work its full-run twin does.
+    def build_extract() -> None:
+        caches["statements"] = extract_statements(d["transcripts"]).persist()
+        caches["mentions"] = statements_to_mentions(
+            caches["statements"], d["alias_dim"]).persist()
+        noop_write(caches["mentions"])
+
+    def build_link() -> None:
+        caches["triples"] = pipeline.triples_from_statements(
+            caches["statements"], d["alias_dim"], d["pred_dim"]).persist()
+        with ThreadPoolExecutor(2) as ex:
+            f_link = ex.submit(
+                noop_write, link_mentions(caches["mentions"],
+                                          d["alias_dim"]))
+            f_tri = ex.submit(noop_write, caches["triples"])
+            f_link.result()
+            f_tri.result()
+
+    def build_nodes_edges() -> None:
+        nodes = build_nodes(caches["triples"], d["alias_dim"]).persist()
+        edges = build_edges(caches["triples"], nodes)
+        with ThreadPoolExecutor(2) as ex:
+            f_n = ex.submit(noop_write, nodes)
+            f_e = ex.submit(noop_write, edges)
+            f_n.result()
+            f_e.result()
+        nodes.unpersist()
+
+    builders = {"extract_mentions": build_extract,
+                "link_and_triples": build_link,
+                "nodes_edges": build_nodes_edges}
+
+    def redo(stage: str) -> tuple[float, float]:
+        """Drop the stage's own caches and re-run it, bracketed by
+        probes; upstream caches stay warm so only this stage is timed."""
+        if stage == "extract_mentions":
+            for k in ("statements", "mentions"):
+                if k in caches:
+                    caches.pop(k).unpersist()
+        elif stage == "link_and_triples":
+            if "triples" in caches:
+                caches.pop("triples").unpersist()
+        c_pre = _calibrate()
+        t0s = time.time()
+        builders[stage]()
+        wall = round(time.time() - t0s, 3)
+        c_post = _calibrate()
+        return wall, max(c_pre, c_post)
+
+    # warm pass in stage order (JIT, Python workers, broadcasts; the
+    # extract redo below rebuilds statements/mentions that link/nodes
+    # then reuse) — never banked
+    warm_walls = {st: redo(st)[0] for st in stages}
     print(f"CAMP c{cores} sf{corpus_sf:g}: warm "
-          f"{warm['pipeline_total']} s, polling", flush=True)
+          f"{json.dumps(warm_walls)}, stage-sniping", flush=True)
     while time.time() - t0 < budget_s and not entry_clean():
         t = _calibrate()
         floor = _cal_floor(update=t)
         if t / floor > gate:
             time.sleep(poll_s)
             continue
-        res = run_pipeline(spark, synth_path, known_n_triples=n_known,
-                           probe=_calibrate)
-        raw = res.pop("stage_cals", {})
-        floor_now = _cal_floor()
-        ratios = {k: v / floor_now for k, v in raw.items()}
-        _merge_best_stages(cores, corpus_sf,
-                           {k: res[k] for k in ratios}, ratios)
-        print("CAMP run " + json.dumps(
-            {k: (res[k], round(ratios[k], 2)) for k in ratios}),
-            flush=True)
+        ent = read_best_stages(cores, corpus_sf) or {}
+        dirty = [st for st in stages
+                 if st not in ent or ent[st]["cal"] > CAL_CLEAN_MAX]
+        st = dirty[0]
+        wall, raw_cal = redo(st)
+        ratio = raw_cal / _cal_floor()
+        _merge_best_stages(cores, corpus_sf, {st: wall}, {st: ratio})
+        print(f"CAMP shot {st}: {wall} s cal {ratio:.2f}", flush=True)
     print(f"CAMP c{cores} sf{corpus_sf:g}: exit clean={entry_clean()}",
           flush=True)
     spark.stop()
