@@ -521,7 +521,10 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     print(f"CAMP c{cores} sf{corpus_sf:g}: warm "
           f"{json.dumps(warm_walls)}, stage-sniping", flush=True)
     while time.time() - t0 < budget_s and not entry_clean():
-        t = _calibrate()
+        # min-of-2: a single probe has enough variance on a quiet host
+        # (1.1-1.5x the all-time floor) to read dirty and waste the
+        # window; two back-to-back probes both spiking is rare
+        t = min(_calibrate(), _calibrate())
         floor = _cal_floor(update=t)
         if t / floor > gate:
             time.sleep(poll_s)
@@ -752,6 +755,9 @@ def main() -> None:
 
     line = {
         "metric": "kg_pipeline_wall",
+        "efficiency_best_evidence": efficiency_best_evidence(
+            best_pair, all_stagewise_clean(lo, hi), amdahl_fit(lo, hi),
+            bench_sf),
         "value": results[cpus]["pipeline_total"],
         "unit": "sec",
         "queries": queries,
@@ -948,6 +954,51 @@ def _merge_best_headline(now: dict) -> dict:
     return best
 
 
+def efficiency_best_evidence(best_pair: dict, stagewise: dict,
+                             amdahl: dict, bench_sf: float) -> dict:
+    """One unambiguous answer to "what is the measured N->4N scaling
+    efficiency?", picked from the cleanest evidence tier available:
+
+    1. a directly measured full-pipeline pair whose best runs at BOTH
+       levels were bracketed clean (cal <= CAL_CLEAN_MAX);
+    2. else the stagewise-clean pair at the LARGEST corpus size where
+       every stage at both levels has a clean bracketed sample (each
+       stage sample is an upper bound on its clean wall, so the summed
+       pair is valid scaling evidence with per-stage cal ≈ 1);
+    3. else the Amdahl-model projection at the bench corpus size,
+       fitted only from clean-at-both-levels stage samples.
+
+    The host's noise phases (see _calibrate) are why tier 1 can stay
+    empty for hours while tiers 2-3 fill: a 60-90 s clean window rarely
+    fits a whole 2-core run but easily fits single stages."""
+    worst = max(best_pair.get("cal_lo_best", 99),
+                best_pair.get("cal_hi_best", 99))
+    if worst <= CAL_CLEAN_MAX:
+        return {"tier": "direct_clean_pair",
+                "efficiency": best_pair.get("efficiency"),
+                "corpus_sf": best_pair.get("corpus_sf"),
+                "cal_lo": best_pair.get("cal_lo_best"),
+                "cal_hi": best_pair.get("cal_hi_best")}
+    clean_sfs = sorted(
+        (float(k[2:]), v) for k, v in (stagewise or {}).items()
+        if v and v.get("all_clean"))
+    if clean_sfs:
+        sf, v = clean_sfs[-1]
+        return {"tier": "stagewise_clean_pair", "corpus_sf": sf,
+                "efficiency": v["efficiency"],
+                "wall_lo_sec": v["wall_lo_sec"],
+                "wall_hi_sec": v["wall_hi_sec"],
+                "all_corpus_sizes": {f"sf{s:g}": w["efficiency"]
+                                     for s, w in clean_sfs}}
+    curve = (amdahl or {}).get("model_efficiency_by_sf") or {}
+    key = f"sf{bench_sf:g}"
+    if curve:
+        return {"tier": "amdahl_model",
+                "efficiency": curve.get(key) or curve,
+                "corpus_sf": bench_sf}
+    return {"tier": "none", "efficiency": None}
+
+
 def _write_bench_md(line: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     s = line["scaling_this_run"]
@@ -963,6 +1014,8 @@ def _write_bench_md(line: dict) -> None:
             f" s @ cal {line['headline_best_known'].get('cal')}, "
             f"{line['headline_best_known'].get('triples_per_sec')} "
             f"triples/sec)\n\n"
+            f"**scaling efficiency, cleanest evidence**: "
+            f"{json.dumps(line.get('efficiency_best_evidence'))}\n\n"
             f"| cores | wall min (s) | all runs (s) | triples/sec |\n"
             f"|---|---|---|---|\n"
             f"| local[{s['cores_lo']}] (N) | {s['wall_lo_sec']} | "

@@ -84,3 +84,30 @@ def test_stagewise_summary_requires_all_clean(tmp_path, monkeypatch):
     s = bench.stagewise_clean_summary(2, 8, 1.0)
     assert s["all_clean"] is True
     assert abs(s["efficiency"] - (22.0 / 7.0) / 4.0) < 1e-3
+
+
+def test_efficiency_best_evidence_tiers():
+    # Tier 1: a clean direct pair wins outright.
+    clean_pair = {"cal_lo_best": 1.1, "cal_hi_best": 1.3,
+                  "efficiency": 0.82, "corpus_sf": 3.0}
+    ev = bench.efficiency_best_evidence(clean_pair, {}, {}, 3.0)
+    assert ev["tier"] == "direct_clean_pair" and ev["efficiency"] == 0.82
+    # Tier 2: noisy direct pair falls back to the LARGEST all-clean
+    # stagewise corpus (larger corpus = less fixed-cost dilution).
+    noisy = {"cal_lo_best": 21.4, "cal_hi_best": 68.4, "efficiency": 0.35}
+    sw = {"sf1": {"all_clean": True, "efficiency": 0.62,
+                  "wall_lo_sec": 23.0, "wall_hi_sec": 9.3},
+          "sf3": {"all_clean": True, "efficiency": 0.81,
+                  "wall_lo_sec": 60.0, "wall_hi_sec": 18.5},
+          "sf2": {"all_clean": False}}
+    ev = bench.efficiency_best_evidence(noisy, sw, {}, 3.0)
+    assert ev["tier"] == "stagewise_clean_pair"
+    assert ev["corpus_sf"] == 3.0 and ev["efficiency"] == 0.81
+    assert ev["all_corpus_sizes"] == {"sf1": 0.62, "sf3": 0.81}
+    # Tier 3: no clean pair anywhere -> Amdahl model at the bench sf.
+    am = {"model_efficiency_by_sf": {"sf1": 0.62, "sf3": 0.81}}
+    ev = bench.efficiency_best_evidence(noisy, {}, am, 3.0)
+    assert ev["tier"] == "amdahl_model" and ev["efficiency"] == 0.81
+    # Nothing at all -> explicit none, never a fabricated number.
+    ev = bench.efficiency_best_evidence(noisy, {}, {}, 3.0)
+    assert ev["tier"] == "none" and ev["efficiency"] is None
