@@ -520,23 +520,40 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     warm_walls = {st: redo(st)[0] for st in stages}
     print(f"CAMP c{cores} sf{corpus_sf:g}: warm "
           f"{json.dumps(warm_walls)}, stage-sniping", flush=True)
+    # Advisory fire-lock: several camps (one warm JVM per cores level)
+    # may poll concurrently — idle JVMs cost ~0 CPU so they don't
+    # contaminate each other — but only ONE may probe-and-fire at a
+    # time, else the shot measures the other camp's load. flock is
+    # advisory and crash-safe (released on process exit).
+    import fcntl
+    lock_f = open(os.path.join(REPO, "BENCH", ".camp.lock"), "w")
     while time.time() - t0 < budget_s and not entry_clean():
-        # min-of-2: a single probe has enough variance on a quiet host
-        # (1.1-1.5x the all-time floor) to read dirty and waste the
-        # window; two back-to-back probes both spiking is rare
-        t = min(_calibrate(), _calibrate())
-        floor = _cal_floor(update=t)
-        if t / floor > gate:
-            time.sleep(poll_s)
+        try:
+            fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            time.sleep(3.0)  # another camp is firing; re-check soon
             continue
-        ent = read_best_stages(cores, corpus_sf) or {}
-        dirty = [st for st in stages
-                 if st not in ent or ent[st]["cal"] > CAL_CLEAN_MAX]
-        st = dirty[0]
-        wall, raw_cal = redo(st)
-        ratio = raw_cal / _cal_floor()
-        _merge_best_stages(cores, corpus_sf, {st: wall}, {st: ratio})
-        print(f"CAMP shot {st}: {wall} s cal {ratio:.2f}", flush=True)
+        try:
+            # min-of-2: a single probe has enough variance on a quiet
+            # host (1.1-1.5x the all-time floor) to read dirty and
+            # waste the window; two back-to-back probes both spiking
+            # is rare
+            t = min(_calibrate(), _calibrate())
+            floor = _cal_floor(update=t)
+            if t / floor > gate:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
+                time.sleep(poll_s)
+                continue
+            ent = read_best_stages(cores, corpus_sf) or {}
+            dirty = [st for st in stages
+                     if st not in ent or ent[st]["cal"] > CAL_CLEAN_MAX]
+            st = dirty[0]
+            wall, raw_cal = redo(st)
+            ratio = raw_cal / _cal_floor()
+            _merge_best_stages(cores, corpus_sf, {st: wall}, {st: ratio})
+            print(f"CAMP shot {st}: {wall} s cal {ratio:.2f}", flush=True)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
     print(f"CAMP c{cores} sf{corpus_sf:g}: exit clean={entry_clean()}",
           flush=True)
     spark.stop()
