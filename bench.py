@@ -421,7 +421,8 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
 
 
 def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
-               gate: float = 1.3, poll_s: float = 12.0) -> None:
+               gate: float = 1.3, poll_s: float = 12.0,
+               polish: bool = False) -> None:
     """Warm-JVM clean-window sniper.
 
     The host's clean windows are only minutes long; launching a fresh
@@ -442,6 +443,8 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     stages = ("extract_mentions", "link_and_triples", "nodes_edges")
 
     def entry_clean() -> bool:
+        if polish:
+            return False  # polish: keep lowering clean walls until budget
         ent = read_best_stages(cores, corpus_sf) or {}
         return all(st in ent and ent[st]["cal"] <= CAL_CLEAN_MAX
                    for st in stages)
@@ -547,7 +550,12 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
             ent = read_best_stages(cores, corpus_sf) or {}
             dirty = [st for st in stages
                      if st not in ent or ent[st]["cal"] > CAL_CLEAN_MAX]
-            st = dirty[0]
+            if dirty:
+                st = dirty[0]
+            else:  # polish: round-robin over already-clean stages; the
+                # merge only keeps a shot that lowers the banked wall
+                stage_camp._rr = getattr(stage_camp, "_rr", -1) + 1
+                st = stages[stage_camp._rr % len(stages)]
             wall, raw_cal = redo(st)
             ratio = raw_cal / _cal_floor()
             _merge_best_stages(cores, corpus_sf, {st: wall}, {st: ratio})
@@ -1103,11 +1111,13 @@ if __name__ == "__main__":
         ap.add_argument("--aux", action="store_true")
         ap.add_argument("--budget", type=float, default=600.0)
         ap.add_argument("--repeat", type=int, default=3)
+        ap.add_argument("--polish", action="store_true")
         a = ap.parse_args()
         if a.stage == "gen":
             stage_gen(a.sf, a.cores)
         elif a.stage == "camp":
-            stage_camp(a.cores, a.synth, budget_s=a.budget)
+            stage_camp(a.cores, a.synth, budget_s=a.budget,
+                       polish=a.polish)
         else:
             stage_run(a.cores, a.synth, a.sf_dir, a.aux,
                       repeat=a.repeat, budget_s=a.budget)
