@@ -420,9 +420,50 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
     spark.stop()
 
 
+def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
+                        cal: float, n_triples: int) -> None:
+    """Bank the best (clean-class first, then lowest-wall) FULL-pipeline
+    camp run per (workload, corpus, cores) in BENCH/best_fullrun.json,
+    and when both pair levels (2 and 8) hold clean entries for a corpus,
+    synthesize the direct scaling pair and store it via _merge_best_pair
+    — the tier-1 evidence: one contiguous measured run per level, both
+    bracketed clean."""
+    path = os.path.join(REPO, "BENCH", "best_fullrun.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        data = {}
+    key = f"{workload_hash()}|sf{corpus_sf:g}|c{cores}"
+    cur = data.get(key)
+    cand_q = (cal > CAL_CLEAN_MAX, wall)
+    if cur is None or cand_q < (cur["cal"] > CAL_CLEAN_MAX, cur["wall"]):
+        data[key] = {"wall": round(wall, 3), "cal": round(cal, 2),
+                     "n_triples": n_triples,
+                     "at": time.strftime("%Y-%m-%d %H:%M:%S")}
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+    lo = data.get(f"{workload_hash()}|sf{corpus_sf:g}|c2")
+    hi = data.get(f"{workload_hash()}|sf{corpus_sf:g}|c8")
+    if (lo and hi and lo["cal"] <= CAL_CLEAN_MAX
+            and hi["cal"] <= CAL_CLEAN_MAX):
+        n = hi.get("n_triples") or lo.get("n_triples") or 0
+        _merge_best_pair({
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "corpus_sf": corpus_sf, "cores_lo": 2, "cores_hi": 8,
+            "wall_lo_sec": lo["wall"], "wall_hi_sec": hi["wall"],
+            "cal_lo_best": lo["cal"], "cal_hi_best": hi["cal"],
+            "tput_lo": round(n / lo["wall"], 1) if n else None,
+            "tput_hi": round(n / hi["wall"], 1) if n else None,
+            "efficiency": round((lo["wall"] / hi["wall"]) / 4.0, 3),
+            "source": "full-run camp (one contiguous clean-bracketed "
+                      "pipeline run per level)",
+        })
+
+
 def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
                gate: float = 1.3, poll_s: float = 12.0,
-               polish: bool = False) -> None:
+               polish: bool = False, full: bool = False) -> None:
     """Warm-JVM clean-window sniper.
 
     The host's clean windows are only minutes long; launching a fresh
@@ -445,6 +486,15 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     def entry_clean() -> bool:
         if polish:
             return False  # polish: keep lowering clean walls until budget
+        if full:
+            try:
+                with open(os.path.join(REPO, "BENCH",
+                                       "best_fullrun.json")) as f:
+                    e = json.load(f).get(
+                        f"{workload_hash()}|sf{corpus_sf:g}|c{cores}")
+                return bool(e and e["cal"] <= CAL_CLEAN_MAX)
+            except (OSError, ValueError):
+                return False
         ent = read_best_stages(cores, corpus_sf) or {}
         return all(st in ent and ent[st]["cal"] <= CAL_CLEAN_MAX
                    for st in stages)
@@ -517,6 +567,27 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
         c_post = _calibrate()
         return wall, max(c_pre, c_post)
 
+    n_triples_memo: list = []
+
+    def redo_full() -> tuple[dict, float, float]:
+        """Drop ALL stage caches and re-run the whole pipeline as one
+        contiguous timed unit (per-stage splits recorded too), bracketed
+        by a single pair of probes — the direct-pair measurement."""
+        for k in list(caches):
+            caches.pop(k).unpersist()
+        c_pre = _calibrate()
+        walls = {}
+        t0s = time.time()
+        for st in stages:
+            t1 = time.time()
+            builders[st]()
+            walls[st] = round(time.time() - t1, 3)
+        total = round(time.time() - t0s, 3)
+        c_post = _calibrate()
+        if not n_triples_memo:  # count AFTER the post-probe: not timed
+            n_triples_memo.append(caches["triples"].count())
+        return walls, total, max(c_pre, c_post)
+
     # warm pass in stage order (JIT, Python workers, broadcasts; the
     # extract redo below rebuilds statements/mentions that link/nodes
     # then reuse) — never banked
@@ -546,6 +617,16 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
             if t / floor > gate:
                 fcntl.flock(lock_f, fcntl.LOCK_UN)
                 time.sleep(poll_s)
+                continue
+            if full:
+                walls, total, raw_cal = redo_full()
+                ratio = raw_cal / _cal_floor()
+                _merge_best_stages(cores, corpus_sf, walls,
+                                   {st: ratio for st in walls})
+                _merge_best_fullrun(cores, corpus_sf, total, ratio,
+                                    n_triples_memo[0])
+                print(f"CAMP full run: {total} s {json.dumps(walls)} "
+                      f"cal {ratio:.2f}", flush=True)
                 continue
             ent = read_best_stages(cores, corpus_sf) or {}
             dirty = [st for st in stages
@@ -1112,12 +1193,13 @@ if __name__ == "__main__":
         ap.add_argument("--budget", type=float, default=600.0)
         ap.add_argument("--repeat", type=int, default=3)
         ap.add_argument("--polish", action="store_true")
+        ap.add_argument("--full", action="store_true")
         a = ap.parse_args()
         if a.stage == "gen":
             stage_gen(a.sf, a.cores)
         elif a.stage == "camp":
             stage_camp(a.cores, a.synth, budget_s=a.budget,
-                       polish=a.polish)
+                       polish=a.polish, full=a.full)
         else:
             stage_run(a.cores, a.synth, a.sf_dir, a.aux,
                       repeat=a.repeat, budget_s=a.budget)
