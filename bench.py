@@ -35,10 +35,17 @@ sys.path.insert(0, REPO)
 
 def make_spark(cores: int):
     from pyspark.sql import SparkSession
+    # Shuffle partitions are a JOB property, not a cluster property: a
+    # production job carries one partition count across cluster sizes.
+    # max(32, 2*cores) gives every pair level (2, 8) the same 32
+    # partitions — ≥4 task waves at the high level, so one straggler
+    # costs ~1/32 of the stage instead of 1/8 (partitions == cores means
+    # ONE wave: any straggler extends the wall 1:1 and caps strong
+    # scaling) — while the headline level keeps 2 waves per core.
     return (SparkSession.builder
             .master(f"local[{cores}]")
             .appName(f"memex-kg-bench-{cores}")
-            .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+            .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -898,6 +905,12 @@ _WORKLOAD_FILES = [
     "memex_kg_spark/operators/components.py",
 ]
 
+# Measurement-config version: folded into workload_hash so banked samples
+# taken under a different Spark config (not visible in the source files
+# above) can never be compared against runs under this one. Bump on any
+# make_spark / stage-structure change that alters the measured workload.
+_MEASURE_SALT = "v3:parts=max(32,2c)"
+
 # Persist-gate: a pair whose worst-level cal ratio exceeds this is noise-
 # contaminated by the bench's own validity rule and is NEVER stored as
 # "best known clean" (it may still be reported as scaling_this_run).
@@ -978,6 +991,7 @@ def workload_hash() -> str:
     regression forever)."""
     import hashlib
     h = hashlib.md5()
+    h.update(_MEASURE_SALT.encode())
     for rel in _WORKLOAD_FILES:
         try:
             with open(os.path.join(REPO, rel), "rb") as f:

@@ -131,10 +131,15 @@ def statements_to_mentions(statements: DataFrame,
         )).alias("s"),
     ).select("conv_id", "turn_idx", "s.surface", "s.start")
     slots = slots.withColumn("norm_surface", F.lower("surface"))
-    gated = slots.join(
-        F.broadcast(alias_dim.select(F.col("norm_alias").alias("norm_surface"))
-                    .distinct()),
-        "norm_surface", "left_semi")
+    from .memo import df_key, dim_memo
+    # the distinct alias gate is memoized per session: rebuilding it is a
+    # scan + distinct shuffle per run — a fixed driver-side cost a
+    # long-running cluster job pays once (same rationale as alias_winners)
+    gate = dim_memo(
+        alias_dim.sparkSession, "_kg_gate_memo", df_key(alias_dim),
+        lambda: alias_dim.select(
+            F.col("norm_alias").alias("norm_surface")).distinct())
+    gated = slots.join(F.broadcast(gate), "norm_surface", "left_semi")
     from pyspark.sql import Window as W
     w = W.partitionBy("conv_id", "turn_idx").orderBy("start", "surface")
     return gated.select(
