@@ -1116,7 +1116,35 @@ def efficiency_best_evidence(best_pair: dict, stagewise: dict,
         return {"tier": "amdahl_model",
                 "efficiency": curve.get(key) or curve,
                 "corpus_sf": bench_sf}
+    # Last resort: a clean pair measured on a PRIOR code version (the
+    # workload hash changed under it, e.g. a measurement-config bump).
+    # Honest but weaker — the plan it measured is near-identical, and a
+    # labeled stale number beats reporting a noise-contaminated fresh one.
+    prior = _prior_hash_clean_pair()
+    if prior is not None:
+        return {"tier": "prior_code_clean_pair",
+                "efficiency": prior.get("efficiency"),
+                "corpus_sf": prior.get("corpus_sf"),
+                "cal_lo": prior.get("cal_lo_best"),
+                "cal_hi": prior.get("cal_hi_best"),
+                "workload_hash": prior.get("workload_hash"),
+                "note": "measured on prior pipeline code (hash differs); "
+                        "no clean pair exists yet for the current code"}
     return {"tier": "none", "efficiency": None}
+
+
+def _prior_hash_clean_pair() -> dict | None:
+    """The stored best_pair.json if it is clean but stamped with a
+    different (older) workload hash than the current code."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "best_pair.json")) as f:
+            p = json.load(f)
+    except (OSError, ValueError):
+        return None
+    worst = max(p.get("cal_lo_best", 99), p.get("cal_hi_best", 99))
+    if p.get("workload_hash") != workload_hash() and worst <= CAL_CLEAN_MAX:
+        return p
+    return None
 
 
 def _write_bench_md(line: dict) -> None:

@@ -109,5 +109,36 @@ def test_efficiency_best_evidence_tiers():
     ev = bench.efficiency_best_evidence(noisy, {}, am, 3.0)
     assert ev["tier"] == "amdahl_model" and ev["efficiency"] == 0.81
     # Nothing at all -> explicit none, never a fabricated number.
-    ev = bench.efficiency_best_evidence(noisy, {}, {}, 3.0)
+    # (isolate from the repo's real best_pair.json: the prior-code
+    # fallback tier is tested separately)
+    import unittest.mock as _mock
+    with _mock.patch.object(bench, "_prior_hash_clean_pair",
+                            lambda: None):
+        ev = bench.efficiency_best_evidence(noisy, {}, {}, 3.0)
     assert ev["tier"] == "none" and ev["efficiency"] is None
+
+
+def test_prior_hash_clean_pair_fallback(tmp_path, monkeypatch):
+    import json
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "workload_hash", lambda: "new_hash")
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    prior = {"workload_hash": "old_hash", "efficiency": 0.55,
+             "corpus_sf": 3.0, "cal_lo_best": 1.3, "cal_hi_best": 1.2}
+    (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
+    # no current-hash evidence at all -> prior-code pair is reported,
+    # explicitly labeled
+    ev = bench.efficiency_best_evidence({"cal_lo_best": 99}, {}, {}, 3.0)
+    assert ev["tier"] == "prior_code_clean_pair"
+    assert ev["efficiency"] == 0.55
+    assert ev["workload_hash"] == "old_hash"
+    # a dirty prior pair is never reported
+    prior["cal_hi_best"] = 9.0
+    (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
+    ev = bench.efficiency_best_evidence({"cal_lo_best": 99}, {}, {}, 3.0)
+    assert ev["tier"] == "none"
+    # a current-hash stored pair is tier-1 territory, not this tier
+    prior["cal_hi_best"] = 1.2
+    prior["workload_hash"] = "new_hash"
+    (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
+    assert bench._prior_hash_clean_pair() is None
