@@ -450,6 +450,14 @@ def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
                      "at": time.strftime("%Y-%m-%d %H:%M:%S")}
         with open(path, "w") as f:
             json.dump(data, f, indent=1)
+    if cores == 32 and cal <= CAL_CLEAN_MAX:
+        # a clean camped local[32] run IS a headline measurement
+        _merge_best_headline({
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "corpus_sf": corpus_sf, "cpus": 32, "wall_sec": round(wall, 3),
+            "cal": round(cal, 2),
+            "triples_per_sec": round(n_triples / wall, 1) if wall else None,
+        })
     lo = data.get(f"{workload_hash()}|sf{corpus_sf:g}|c2")
     hi = data.get(f"{workload_hash()}|sf{corpus_sf:g}|c8")
     if (lo and hi and lo["cal"] <= CAL_CLEAN_MAX
