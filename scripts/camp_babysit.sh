@@ -1,0 +1,32 @@
+#!/bin/bash
+# Keep full-run camps alive until every requested level has a CLEAN
+# banked full-pipeline sample for the current workload hash (camps exit
+# immediately when their level is already clean). Camps coordinate
+# through BENCH/.camp.lock, so concurrent levels never fire together.
+#
+# Usage: camp_babysit.sh [SYNTH_DIR] [TOTAL_BUDGET_S] [LEVELS...]
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+SYNTH="${1:-$REPO/.synth/sf3}"
+TOTAL="${2:-14400}"
+shift 2 2>/dev/null || true
+LEVELS=("${@:-}")
+[ -z "${LEVELS[0]:-}" ] && LEVELS=(8 2 32)
+T0=$(date +%s)
+while [ $(( $(date +%s) - T0 )) -lt "$TOTAL" ]; do
+  for c in "${LEVELS[@]}"; do
+    log="/tmp/camp2_$(basename "$SYNTH")_c${c}_full.log"
+    # stop respawning once the level reports clean
+    grep -aq "already clean\|exit clean=True" "$log" 2>/dev/null && continue
+    if ! pgrep -f "stage camp --cores $c --synth $SYNTH" >/dev/null; then
+      left=$(( TOTAL - ($(date +%s) - T0) ))
+      [ "$left" -le 120 ] && break 2
+      budget=$(( left < 3000 ? left : 3000 ))
+      nohup python "$REPO/bench.py" --stage camp --cores "$c" \
+        --synth "$SYNTH" --budget "$budget" --full \
+        >> "/tmp/camp2_$(basename "$SYNTH")_c${c}_full.log" 2>&1 &
+      sleep 5
+    fi
+  done
+  sleep 60
+done
