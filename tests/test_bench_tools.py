@@ -142,3 +142,34 @@ def test_prior_hash_clean_pair_fallback(tmp_path, monkeypatch):
     prior["workload_hash"] = "new_hash"
     (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
     assert bench._prior_hash_clean_pair() is None
+
+
+def test_fullrun_clean_requires_inrun_sample():
+    # entries without an in-run probe reading are dirty by definition —
+    # a multi-minute run can hide a whole storm between quiet brackets
+    assert not bench._fullrun_clean({"cal": 1.2}, 2)
+    assert not bench._fullrun_clean(None, 2)
+    assert bench._fullrun_clean({"cal": 1.2, "cal_inrun": 2.0}, 2)
+    # the in-run gate is looser at high core counts (self-load) but a
+    # storm-grade reading is dirty everywhere
+    assert not bench._fullrun_clean({"cal": 1.2, "cal_inrun": 5.0}, 8)
+    assert bench._fullrun_clean({"cal": 1.2, "cal_inrun": 5.0}, 32)
+    assert not bench._fullrun_clean({"cal": 1.2, "cal_inrun": 16.5}, 32)
+    # dirty brackets dirty the run regardless of in-run
+    assert not bench._fullrun_clean({"cal": 9.0, "cal_inrun": 1.0}, 2)
+
+
+def test_merge_best_fullrun_gates_pair_on_inrun(tmp_path, monkeypatch):
+    import json
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "workload_hash", lambda: "wh")
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    # clean c8 + bracket-clean-but-storm-hit c2 -> NO pair synthesized
+    bench._merge_best_fullrun(8, 3.0, 18.0, 1.2, 1000, cal_inrun=2.5)
+    bench._merge_best_fullrun(2, 3.0, 415.0, 1.49, 1000, cal_inrun=22.0)
+    assert not (tmp_path / "BENCH" / "best_pair.json").exists()
+    # a genuinely clean c2 replaces the storm-hit entry and the pair lands
+    bench._merge_best_fullrun(2, 3.0, 65.0, 1.2, 1000, cal_inrun=1.8)
+    pair = json.loads((tmp_path / "BENCH" / "best_pair.json").read_text())
+    assert pair["wall_lo_sec"] == 65.0 and pair["wall_hi_sec"] == 18.0
+    assert abs(pair["efficiency"] - (65.0 / 18.0) / 4) < 1e-3
