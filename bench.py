@@ -371,7 +371,7 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
     cal_best = min(_calibrate() for _ in range(2))
     cal_best = min(cal_best, _cal_floor(update=cal_best))
     best: dict = {}
-    totals, ratios = [], []
+    totals, ratios, inruns = [], [], []
     stage_runs: dict[str, list[float]] = {}
     n_known = None
     for i in range(repeat):
@@ -384,8 +384,22 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
             time.sleep(40)
             cal = _calibrate()
         cal_best = min(cal_best, cal)
+        # in-run watcher: a storm can start after the pre-probe and end
+        # before the post-probe of a multi-minute run; sample during it
+        import threading
+        _samples: list[float] = []
+        _stop = threading.Event()
+
+        def _poll():
+            while not _stop.wait(8.0):
+                _samples.append(_calibrate())
+
+        _th = threading.Thread(target=_poll, daemon=True)
+        _th.start()
         stages = run_pipeline(spark, synth_path, known_n_triples=n_known,
                               probe=_calibrate)
+        _stop.set()
+        _th.join(timeout=2.0)
         n_known = stages["n_triples"]
         raw_stage_cals = stages.pop("stage_cals", {})
         cal_post = _calibrate()
@@ -393,14 +407,22 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
         # a run is only as clean as its WORST moment: noise flickers on
         # second granularity, so bracket each run with probes
         ratio = round(max(cal, cal_post) / cal_best, 2)
+        floor_ref = min(cal_best, _cal_floor())
+        inrun = round((max(_samples) / floor_ref) if _samples else ratio, 2)
         totals.append(stages["pipeline_total"])
         ratios.append(ratio)
+        inruns.append(inrun)
         for k in ("extract_mentions", "link_and_triples", "nodes_edges"):
             stage_runs.setdefault(k, []).append(stages[k])
         # harvest per-stage samples with their own brackets (storms
-        # flicker: a stage can be clean inside a dirty run)
+        # flicker: a stage can be clean inside a dirty run) — but only
+        # trust them when the in-run watcher saw no storm anywhere in
+        # the run (a storm wholly inside one stage passes that stage's
+        # brackets too)
         floor_now = min(cal_best, _cal_floor())
-        stage_ratios = {k: v / floor_now
+        stage_ratios = {k: (v / floor_now
+                            if inrun <= _inrun_gate(cores)
+                            else max(v / floor_now, inrun))
                         for k, v in raw_stage_cals.items()}
         import re as _re
         m_sf = _re.search(r"sf([0-9.]+)", os.path.basename(
@@ -412,9 +434,11 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
         if not best or stages["pipeline_total"] < best["pipeline_total"]:
             best = stages
             best["cal_ratio"] = ratio
+            best["cal_inrun"] = inrun
     _cal_floor(update=cal_best)
     best["all_runs"] = totals
     best["cal_ratios"] = ratios
+    best["cal_inruns"] = inruns
     # per-stage minima ACROSS runs: noise storms hit runs unevenly, so
     # the stage-wise minimum is a tighter estimate of the clean wall than
     # any single run's total (each stage min is individually a valid
@@ -444,6 +468,18 @@ def _fullrun_clean(entry: dict | None, cores: int) -> bool:
     local[2] run — 6x the clean wall — bracketed at cal 1.49)."""
     return bool(entry and entry.get("cal", 99) <= CAL_CLEAN_MAX
                 and entry.get("cal_inrun", 99) <= _inrun_gate(cores))
+
+
+def _pair_clean(p: dict) -> bool:
+    """A scaling pair is clean only when both levels' best runs were
+    bracket-clean AND storm-free by the in-run watcher (missing in-run
+    readings = dirty, same rule as _fullrun_clean)."""
+    return (max(p.get("cal_lo_best", 99), p.get("cal_hi_best", 99))
+            <= CAL_CLEAN_MAX
+            and p.get("cal_inrun_lo", 99)
+            <= _inrun_gate(p.get("cores_lo", 2))
+            and p.get("cal_inrun_hi", 99)
+            <= _inrun_gate(p.get("cores_hi", 8)))
 
 
 def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
@@ -773,6 +809,8 @@ def pair_main() -> None:
         "wall_hi_sec": results[hi]["pipeline_total"],
         "cal_lo_best": results[lo].get("cal_ratio", 99),
         "cal_hi_best": results[hi].get("cal_ratio", 99),
+        "cal_inrun_lo": results[lo].get("cal_inrun", 99),
+        "cal_inrun_hi": results[hi].get("cal_inrun", 99),
         "tput_lo": tput[lo], "tput_hi": tput[hi],
         "efficiency": round((tput[hi] / tput[lo]) / (hi / lo), 3),
         "stage_mins_lo": results[lo].get("stage_mins"),
@@ -900,6 +938,8 @@ def main() -> None:
         "wall_hi_sec": results[hi]["pipeline_total"],
         "cal_lo_best": results[lo].get("cal_ratio", 99),
         "cal_hi_best": results[hi].get("cal_ratio", 99),
+        "cal_inrun_lo": results[lo].get("cal_inrun", 99),
+        "cal_inrun_hi": results[hi].get("cal_inrun", 99),
         "tput_lo": tput[lo], "tput_hi": tput[hi],
         "efficiency": efficiency,
         "stage_mins_lo": results[lo].get("stage_mins"),
@@ -1090,7 +1130,7 @@ def _merge_best_pair(pair_now: dict) -> dict:
             and stored.get("cores_lo") == pair_now.get("cores_lo")
             and quality(stored) < quality(pair_now)):
         best = stored
-    if worst_cal(best) <= CAL_CLEAN_MAX:
+    if _pair_clean(best):
         with open(path, "w") as f:
             json.dump(best, f, indent=1)
     elif stored is not None:
@@ -1149,14 +1189,14 @@ def efficiency_best_evidence(best_pair: dict, stagewise: dict,
     The host's noise phases (see _calibrate) are why tier 1 can stay
     empty for hours while tiers 2-3 fill: a 60-90 s clean window rarely
     fits a whole 2-core run but easily fits single stages."""
-    worst = max(best_pair.get("cal_lo_best", 99),
-                best_pair.get("cal_hi_best", 99))
-    if worst <= CAL_CLEAN_MAX:
+    if _pair_clean(best_pair):
         return {"tier": "direct_clean_pair",
                 "efficiency": best_pair.get("efficiency"),
                 "corpus_sf": best_pair.get("corpus_sf"),
                 "cal_lo": best_pair.get("cal_lo_best"),
-                "cal_hi": best_pair.get("cal_hi_best")}
+                "cal_hi": best_pair.get("cal_hi_best"),
+                "cal_inrun_lo": best_pair.get("cal_inrun_lo"),
+                "cal_inrun_hi": best_pair.get("cal_inrun_hi")}
     clean_sfs = sorted(
         (float(k[2:]), v) for k, v in (stagewise or {}).items()
         if v and v.get("all_clean"))

@@ -87,11 +87,18 @@ def test_stagewise_summary_requires_all_clean(tmp_path, monkeypatch):
 
 
 def test_efficiency_best_evidence_tiers():
-    # Tier 1: a clean direct pair wins outright.
+    # Tier 1: a clean direct pair (brackets AND in-run watcher) wins
+    # outright; a pair without in-run readings is NOT tier-1.
     clean_pair = {"cal_lo_best": 1.1, "cal_hi_best": 1.3,
+                  "cal_inrun_lo": 1.4, "cal_inrun_hi": 2.1,
+                  "cores_lo": 2, "cores_hi": 8,
                   "efficiency": 0.82, "corpus_sf": 3.0}
     ev = bench.efficiency_best_evidence(clean_pair, {}, {}, 3.0)
     assert ev["tier"] == "direct_clean_pair" and ev["efficiency"] == 0.82
+    no_inrun = {k: v for k, v in clean_pair.items()
+                if not k.startswith("cal_inrun")}
+    assert bench.efficiency_best_evidence(
+        no_inrun, {}, {}, 3.0)["tier"] != "direct_clean_pair"
     # Tier 2: noisy direct pair falls back to the LARGEST all-clean
     # stagewise corpus (larger corpus = less fixed-cost dilution).
     noisy = {"cal_lo_best": 21.4, "cal_hi_best": 68.4, "efficiency": 0.35}
