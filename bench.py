@@ -707,7 +707,16 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
             # min-of-2: a single probe has enough variance on a quiet
             # host (1.1-1.5x the all-time floor) to read dirty and
             # waste the window; two back-to-back probes both spiking
-            # is rare
+            # is rare. Then CONFIRM 6 s later: storm flickers shorter
+            # than the probe pair routinely passed a single check and
+            # burned a multi-minute shot on a dirty window.
+            t = min(_calibrate(), _calibrate())
+            floor = _cal_floor(update=t)
+            if t / floor > gate:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
+                time.sleep(poll_s)
+                continue
+            time.sleep(6.0)
             t = min(_calibrate(), _calibrate())
             floor = _cal_floor(update=t)
             if t / floor > gate:
