@@ -976,7 +976,8 @@ def main() -> None:
 
     queries = {f"kg_{k}": v for k, v in results[cpus].items()
                if k not in ("n_triples", "all_runs", "cal_ratios",
-                            "cal_ratio", "stage_mins", "stagemin_total")}
+                            "cal_ratio", "cal_inrun", "cal_inruns",
+                            "stage_mins", "stagemin_total")}
     queries["kg_stagemin_total"] = results[cpus].get(
         "stagemin_total", results[cpus]["pipeline_total"])
     headline_best = _merge_best_headline({
