@@ -79,22 +79,27 @@ def ppr_subgraph(edges: DataFrame, seed: str, k: int = 10,
 
 
 def unrolled_ppr_sql(edges_cte: str, seed: str, iterations: int = 10,
-                     damping: float = 0.85) -> str:
+                     damping: float = 0.85,
+                     seed_expr: str | None = None) -> str:
     """Generate the DuckDB oracle: the SAME power iteration unrolled into
     pr0..prN CTEs (no recursion — aggregation per step is plain SQL).
-    ``edges_cte`` must define a relation ``pedges(u, v)``."""
+    ``edges_cte`` must define a relation ``pedges(u, v)``. ``seed_expr``
+    (a SQL scalar expression, e.g. a subquery) overrides the quoted
+    ``seed`` literal so a composed query can derive the seed inside SQL
+    (the EP3 search-prefix oracle)."""
     d = damping
+    sd = seed_expr if seed_expr is not None else f"'{seed}'"
     parts = [edges_cte, f"""
 pnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
     SELECT u AS id FROM pedges UNION ALL SELECT v AS id FROM pedges)),
 pdeg AS MATERIALIZED (SELECT u, count(*) AS out_deg FROM pedges GROUP BY u),
-pr0 AS (SELECT id, CASE WHEN id = '{seed}' THEN 1.0 ELSE 0.0 END AS rank
+pr0 AS (SELECT id, CASE WHEN id = {sd} THEN 1.0 ELSE 0.0 END AS rank
         FROM pnodes)"""]
     for i in range(iterations):
         parts.append(f"""
 pr{i + 1} AS MATERIALIZED (
     SELECT n.id,
-           CASE WHEN n.id = '{seed}' THEN {1 - d} ELSE 0.0 END
+           CASE WHEN n.id = {sd} THEN {1 - d} ELSE 0.0 END
            + {d} * coalesce(c.inflow, 0.0) AS rank
     FROM pnodes n LEFT JOIN (
         SELECT e.v AS id, sum(p.rank / g.out_deg) AS inflow

@@ -1,6 +1,6 @@
 """Remaining SURVEY §2 coverage: n-hop expansion (G1), text-embedding
-mean (A5/G7), fulltext scoring (T3), euclidean top-k (T4/F9), rollup,
-Dominant-Set clustering (G4/G5, rows-only)."""
+mean (A5/G7), fulltext scoring (T3), Dominant-Set clustering (G4+G5,
+rows-only; euclidean top-k lives in the merged ann_brute_topk row)."""
 
 from __future__ import annotations
 
@@ -10,7 +10,6 @@ from .. import pipeline
 from ..operators.embed_text import avg_feature_vector
 from ..operators.fulltext import fulltext_sql, fulltext_topk
 from ..operators.nhop import n_hop_expand, unrolled_nhop_sql
-from ..operators.similarity import euclidean
 from .graphq import PPR_SEED, _kg_edges
 from .kg import _cte, synth_for
 
@@ -77,67 +76,27 @@ def q_fulltext_search(spark, sf_dir):
     return fulltext_topk(docs, FT_TERMS, k=10)
 
 
-def q_euclidean_topk(spark, sf_dir):
-    """T4/F9: visual-style top-k by euclidean distance (reference
-    gds.alpha.similarity.euclideanDistance, db/db_search.py:99-150)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    return (emb.filter("vec_id != 0")
-            .select("vec_id",
-                    F.round(euclidean(F.col("embedding"), q), 4)
-                    .alias("dist"))
-            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-            .limit(10))
-
-
-SQL_EUCLIDEAN = """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-pairs AS (SELECT e.vec_id,
-                 CAST(unnest(e.embedding) AS DOUBLE) AS x,
-                 CAST(unnest(q.qv) AS DOUBLE) AS y
-          FROM embeddings e, q WHERE e.vec_id <> 0),
-sums AS (SELECT vec_id, sum((x - y) * (x - y)) AS ss
-         FROM pairs GROUP BY vec_id)
-SELECT vec_id, round(sqrt(ss), 4) AS dist
-FROM sums ORDER BY dist ASC, vec_id ASC LIMIT 10
-"""
-
-
-def q_rollup_orders(spark, sf_dir):
-    """Rollup aggregation (subtotals + grand total) over orders."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (o.rollup("o_orderpriority", "o_orderstatus")
-            .agg(F.count("*").alias("n"))
-            .select(F.coalesce("o_orderpriority", F.lit("ALL"))
-                    .alias("priority"),
-                    F.coalesce("o_orderstatus", F.lit("ALL"))
-                    .alias("status"),
-                    "n")
-            .orderBy("priority", "status"))
-
-
-SQL_ROLLUP = """
-SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-       coalesce(o_orderstatus, 'ALL') AS status,
-       count(*) AS n
-FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-ORDER BY priority, status
-"""
-
-
 def q_dominant_set(spark, sf_dir):
-    """G4: Dominant-Set clusters of the PPR-gated subgraph (driver-side
-    replicator dynamics on the collected subgraph, by design — rows-only
-    check; determinism pinned in pytest)."""
-    from ..operators.dominant_set import cluster_subgraph
+    """G4 + G5 in one rows-only row (merged r3): ``part='plain'`` —
+    Dominant-Set clusters of the PPR-gated subgraph (driver-side
+    replicator dynamics on the collected subgraph, by design);
+    ``part='constrained'`` — the G5 constrained variant with per-member
+    DS weights (reference DominantSet.py:158-195, seed cluster first).
+    Determinism of both paths pinned in pytest."""
+    from ..operators.dominant_set import cluster_subgraph, service_clusters
     from ..operators.pagerank import ppr_subgraph
     edges = _kg_edges(spark, sf_dir)
-    sub = ppr_subgraph(edges, PPR_SEED, k=8)
+    sub = ppr_subgraph(edges, PPR_SEED, k=8).localCheckpoint()
     clusters = cluster_subgraph(sub.limit(500))
-    rows = [(i, m) for i, c in enumerate(clusters) for m in c]
-    return (spark.createDataFrame(rows, ["cluster_id", "qid"])
-            .orderBy("cluster_id", "qid"))
+    plain = [("plain", i, m, None)
+             for i, c in enumerate(clusters) for m in c]
+    constrained = [("constrained", int(cid), str(qid), float(w))
+                   for (_rank, cid, qid, w)
+                   in service_clusters(sub, PPR_SEED)]
+    return (spark.createDataFrame(
+        plain + constrained,
+        "part string, cluster_id int, qid string, ds_weight double")
+        .orderBy("part", "cluster_id", "qid"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -165,8 +124,6 @@ def extra_queries() -> dict:
         "nhop_expand": q_nhop_expand,
         "text_embed_mean": q_text_embed_mean,
         "fulltext_search": q_fulltext_search,
-        "euclidean_topk": q_euclidean_topk,
-        "rollup_orders": q_rollup_orders,
         "dominant_set_clusters": q_dominant_set,  # rows-only
         "multimodal_features": q_multimodal_features,
     }
@@ -179,7 +136,5 @@ def extra_oracle_sql(sf: float = 0.01) -> dict:
         "nhop_expand": sql_nhop(p),
         "text_embed_mean": SQL_TEXT_EMBED,
         "fulltext_search": fulltext_sql(FT_TERMS, 10),
-        "euclidean_topk": SQL_EUCLIDEAN,
-        "rollup_orders": SQL_ROLLUP,
         "multimodal_features": SQL_MULTIMODAL,
     }

@@ -45,41 +45,31 @@ def sql_ppr_topk(p: str) -> str:
 
 
 def q_ppr_subgraph(spark, sf_dir):
-    """J9: 1-hop neighborhood of the PPR top-10 (reference
-    get_ppr_subgraph, db/db_search.py:319-340)."""
-    edges = _kg_edges(spark, sf_dir)
-    return ppr_subgraph(edges, PPR_SEED, k=10).orderBy(
-        "src", "pred", "dst")
-
-
-def sql_ppr_subgraph(p: str) -> str:
-    return (_ppr_cte(p) + f"""
-, top10 AS (SELECT id FROM ppr ORDER BY rank DESC, id ASC LIMIT 10)
-SELECT DISTINCT src, pred, dst FROM edges
-WHERE src IN (SELECT id FROM top10) OR dst IN (SELECT id FROM top10)
-ORDER BY src, pred, dst""")
-
-
-def q_node_neighbors(spark, sf_dir):
-    """J10: neighbor lookup for one node — outgoing edges + neighbor
-    labels (reference get_node_neighbors, db/db_search.py:372-396)."""
+    """J9 + J10 in one row (merged r3): the 1-hop neighborhood of the PPR
+    top-10 (reference get_ppr_subgraph, db/db_search.py:319-340), each
+    edge annotated with the destination node's label via the J10
+    neighbor-lookup join (reference get_node_neighbors,
+    db/db_search.py:372-396)."""
     from .kg import kg_artifacts
     a = kg_artifacts(spark, sf_dir)
     nodes, edges = a["nodes"], a["edges"]
     nbr = nodes.select(F.col("qid").alias("dst"),
-                       F.col("label").alias("neighbor_label"))
-    return (edges.filter(F.col("src") == PPR_SEED)
-            .join(F.broadcast(nbr), "dst")
-            .select("src", "pred", "dst", "neighbor_label")
-            .orderBy("pred", "dst"))
+                       F.col("label").alias("dst_label"))
+    return (ppr_subgraph(edges, PPR_SEED, k=10)
+            .join(F.broadcast(nbr), "dst", "left")
+            .select("src", "pred", "dst", "dst_label")
+            .orderBy("src", "pred", "dst"))
 
 
-def sql_node_neighbors(p: str) -> str:
-    return ("WITH RECURSIVE " + _cte(p) + f"""
-SELECT e.src, e.pred, e.dst, n.label AS neighbor_label
-FROM edges e JOIN nodes n ON e.dst = n.qid
-WHERE e.src = '{PPR_SEED}'
-ORDER BY e.pred, e.dst""")
+def sql_ppr_subgraph(p: str) -> str:
+    return (_ppr_cte(p) + """
+, top10 AS (SELECT id FROM ppr ORDER BY rank DESC, id ASC LIMIT 10),
+sub AS (SELECT DISTINCT src, pred, dst FROM edges
+        WHERE src IN (SELECT id FROM top10)
+           OR dst IN (SELECT id FROM top10))
+SELECT s.src, s.pred, s.dst, n.label AS dst_label
+FROM sub s LEFT JOIN nodes n ON s.dst = n.qid
+ORDER BY s.src, s.pred, s.dst""")
 
 
 def q_spatial_neighbors(spark, sf_dir):
@@ -106,35 +96,11 @@ ORDER BY a_id, b_id
 """
 
 
-def q_category_vector(spark, sf_dir):
-    """A1: the reference's category-count vector (main.py:240-249):
-    counts of instance_of targets ordered by label."""
-    from .kg import kg_artifacts
-    a = kg_artifacts(spark, sf_dir)
-    nodes, edges = a["nodes"], a["edges"]
-    tgt = nodes.select(F.col("qid").alias("dst"),
-                       F.col("label").alias("category"))
-    return (edges.filter(F.col("pred") == "instance_of")
-            .join(F.broadcast(tgt), "dst")
-            .groupBy("category").agg(F.count("*").alias("n"))
-            .orderBy("category"))
-
-
-def sql_category_vector(p: str) -> str:
-    return ("WITH RECURSIVE " + _cte(p) + """
-SELECT n.label AS category, count(*) AS n
-FROM edges e JOIN nodes n ON e.dst = n.qid
-WHERE e.pred = 'instance_of'
-GROUP BY category ORDER BY category""")
-
-
 def graph_queries() -> dict:
     return {
         "ppr_topk": q_ppr_topk,
         "ppr_subgraph": q_ppr_subgraph,
-        "node_neighbors": q_node_neighbors,
         "spatial_neighbors": q_spatial_neighbors,
-        "category_vector": q_category_vector,
     }
 
 
@@ -144,7 +110,5 @@ def graph_oracle_sql(sf: float = 0.01) -> dict:
     return {
         "ppr_topk": sql_ppr_topk(p),
         "ppr_subgraph": sql_ppr_subgraph(p),
-        "node_neighbors": sql_node_neighbors(p),
         "spatial_neighbors": SQL_SPATIAL_NEIGHBORS,
-        "category_vector": sql_category_vector(p),
     }

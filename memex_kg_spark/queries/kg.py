@@ -199,11 +199,34 @@ def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 analogue: per-predicate triple counts (groupBy + count + sort)."""
-    triples = kg_artifacts(spark, sf_dir)["triples"]
-    return (triples.groupBy("pred")
-            .agg(F.count("*").alias("n_triples"))
-            .orderBy("pred"))
+    """A1 count family in one row (merged r3 for the 50-row budget):
+    ``kind='pred'`` per-predicate triple counts; ``kind='hot_entity'``
+    top-20 linked-mention counts (the Zipf head, T-style top-k);
+    ``kind='category'`` the reference's category-count vector
+    (main.py:240-249 — counts of instance_of targets by label)."""
+    a = kg_artifacts(spark, sf_dir)
+    triples, nodes, edges = a["triples"], a["nodes"], a["edges"]
+    preds = (triples.groupBy("pred")
+             .agg(F.count("*").alias("n"))
+             .select(F.lit("pred").alias("kind"),
+                     F.col("pred").alias("name"), "n"))
+    from ..operators.linking import link_mentions
+    hot = (link_mentions(a["mentions"], a["alias_dim"])
+           .groupBy("qid")
+           .agg(F.count("*").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("qid").asc())
+           .limit(20)
+           .select(F.lit("hot_entity").alias("kind"),
+                   F.col("qid").alias("name"), "n"))
+    tgt = nodes.select(F.col("qid").alias("dst"),
+                       F.col("label").alias("category"))
+    cats = (edges.filter(F.col("pred") == "instance_of")
+            .join(F.broadcast(tgt), "dst")
+            .groupBy("category").agg(F.count("*").alias("n"))
+            .select(F.lit("category").alias("kind"),
+                    F.col("category").alias("name"), "n"))
+    return (preds.unionByName(hot).unionByName(cats)
+            .orderBy("kind", "name"))
 
 
 def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,17 +234,6 @@ def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the plain GROUP BY count the oracle computes."""
     mentions = kg_artifacts(spark, sf_dir)["mentions"]
     return salted_counts(mentions, "norm_surface", out="n_mentions")
-
-
-def q_kg_hot_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-style top-k over the linked-mention counts (Zipf head)."""
-    d = kg_artifacts(spark, sf_dir)
-    from ..operators.linking import link_mentions
-    linked = link_mentions(d["mentions"], d["alias_dim"])
-    return (linked.groupBy("qid")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("qid").asc())
-            .limit(20))
 
 
 def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +291,6 @@ def kg_queries() -> dict:
         "kg_turn_order": q_kg_turn_order,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_mention_counts_salted": q_kg_mention_counts_salted,
-        "kg_hot_entities": q_kg_hot_entities,
         "csv_manual_ingest": q_csv_manual_ingest,
     }
 
@@ -304,15 +315,23 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
                    md5(coalesce(text, '')) AS text_md5
             FROM read_parquet('{p}/transcripts.parquet')""",
         "kg_pred_counts": _wrap(
-            p, "SELECT pred, count(*) AS n_triples FROM triples "
-               "GROUP BY pred ORDER BY pred"),
+            p, """SELECT * FROM (
+                  SELECT 'pred' AS kind, pred AS name, count(*) AS n
+                  FROM triples GROUP BY pred
+                  UNION ALL
+                  SELECT 'hot_entity' AS kind, name, n FROM (
+                      SELECT w.qid AS name, count(*) AS n
+                      FROM mentions m JOIN winners w
+                        ON m.norm_surface = w.norm_alias
+                      GROUP BY w.qid ORDER BY n DESC, name ASC LIMIT 20)
+                  UNION ALL
+                  SELECT 'category' AS kind, n2.label AS name, count(*) AS n
+                  FROM edges e JOIN nodes n2 ON e.dst = n2.qid
+                  WHERE e.pred = 'instance_of'
+                  GROUP BY n2.label)
+                  ORDER BY kind, name"""),
         "kg_mention_counts_salted": _wrap(
             p, "SELECT norm_surface, count(*) AS n_mentions FROM mentions "
                "GROUP BY norm_surface"),
-        "kg_hot_entities": _wrap(
-            p, """SELECT w.qid, count(*) AS n
-                  FROM mentions m JOIN winners w
-                    ON m.norm_surface = w.norm_alias
-                  GROUP BY w.qid ORDER BY n DESC, qid ASC LIMIT 20"""),
         "csv_manual_ingest": _sql_csv_manual(p),
     }

@@ -10,6 +10,9 @@ from __future__ import annotations
 from .kg import kg_oracle_sql, kg_queries
 from .relational import relational_oracle_sql, relational_queries
 
+DRIVER_ROW_BUDGET = 50  # the driver records at most this many
+# CORRECTNESS rows per round; every registered key must fit.
+
 
 def all_queries() -> dict:
     out: dict = {}
@@ -40,15 +43,20 @@ def all_queries() -> dict:
         out.update(service_queries())
     except ImportError:
         pass
-    # r01 driver run truncated the tail of the suite: the last two keys
-    # never got a CORRECTNESS row. Keep every query cheap (kg_artifacts
-    # cache) AND move the two formerly-dropped keys right behind the KG
-    # block so a budget cut can't silently drop them again.
+    # The driver records AT MOST `DRIVER_ROW_BUDGET` CORRECTNESS rows per
+    # round (r01/r02 both truncated at exactly 50). r2 overflowed to 63
+    # keys and lost 13 rows; r3 consolidated related operators into
+    # tagged multi-part rows so EVERY registered key gets a driver row
+    # (budget guard pinned in test_entry_contract). Keep the rows-only
+    # keys early so a future budget cut can't silently drop them.
     front = [k for k in ("dominant_set_clusters", "multimodal_features")
              if k in out]
     keys = [k for k in out if k not in front]
     for i, k in enumerate(front):
         keys.insert(min(9 + i, len(keys)), k)
+    assert len(keys) <= DRIVER_ROW_BUDGET, (
+        f"registry has {len(keys)} keys > driver budget "
+        f"{DRIVER_ROW_BUDGET}; consolidate before registering more")
     return {k: out[k] for k in keys}
 
 

@@ -25,12 +25,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-style pricing summary (groupBy + multi-agg + sort).
+    """TPC-H Q1-style pricing summary as a ROLLUP (groupBy + multi-agg +
+    subtotals + grand total; absorbs the r02 ``rollup_orders`` row so the
+    registry fits the driver's 50-row CORRECTNESS budget).
     Decimal-typed sums keep the value hash exact across engines."""
     li = _t(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
+            .rollup("l_returnflag", "l_linestatus")
             .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
                  F.sum(cents(F.col("l_extendedprice")))
                  .alias("sum_base_price_c"),
@@ -38,11 +40,18 @@ def q_pricing_summary(spark, sf_dir):
                              * (F.lit(1.0) - F.col("l_discount"))))
                  .alias("sum_disc_price_c"),
                  F.count("*").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("ret_flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("line_status"),
+                    "sum_qty_c", "sum_base_price_c", "sum_disc_price_c",
+                    "count_order")
+            .orderBy("ret_flag", "line_status"))
 
 
 SQL_PRICING = """
-SELECT l_returnflag, l_linestatus,
+SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
        CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
        CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
@@ -50,8 +59,8 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY ret_flag, line_status
 """
 
 
@@ -118,37 +127,39 @@ ORDER BY region_name, priority
 
 
 def q_anti_join(spark, sf_dir):
-    """J4: existence anti-join (reference already_present dedup gate) —
-    customers that never ordered."""
+    """J4 + J5 existence joins in one row (merged r3 for the driver's
+    50-row budget): the anti half (customers that never ordered — the
+    reference already_present dedup gate) unioned with the semi half
+    (parts that ship — endpoint-existence gating), tagged by ``kind``."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
-                   "c_custkey", "left_anti")
-            .select("c_custkey", "c_name")
-            .orderBy("c_custkey"))
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    never = (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                    "c_custkey", "left_anti")
+             .select(F.lit("anti_never_ordered").alias("kind"),
+                     F.col("c_custkey").cast("long").alias("key"),
+                     F.col("c_name").alias("name")))
+    ships = (p.join(li.select(F.col("l_partkey").alias("p_partkey")),
+                    "p_partkey", "left_semi")
+             .select(F.lit("semi_part_ships").alias("kind"),
+                     F.col("p_partkey").cast("long").alias("key"),
+                     F.col("p_name").alias("name")))
+    return never.unionByName(ships).orderBy("kind", "key")
 
 
 SQL_ANTI_JOIN = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-ORDER BY c_custkey
-"""
-
-
-def q_semi_join(spark, sf_dir):
-    """J5-style endpoint-existence semi-join — parts that ship."""
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
-    return (p.join(li.select(F.col("l_partkey").alias("p_partkey")),
-                   "p_partkey", "left_semi")
-            .select("p_partkey", "p_name")
-            .orderBy("p_partkey"))
-
-
-SQL_SEMI_JOIN = """
-SELECT p_partkey, p_name FROM part
-WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
-ORDER BY p_partkey
+SELECT * FROM (
+    SELECT 'anti_never_ordered' AS kind,
+           CAST(c_custkey AS BIGINT) AS key, c_name AS name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'semi_part_ships' AS kind,
+           CAST(p_partkey AS BIGINT) AS key, p_name AS name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem))
+ORDER BY kind, key
 """
 
 
@@ -237,9 +248,39 @@ ORDER BY o_custkey, order_seq
 # --- T: top-k -----------------------------------------------------------------
 
 
-def q_topk_orders(spark, sf_dir):
-    """T1: ORDER BY + LIMIT pushed into TakeOrderedAndProject (unlike the
-    reference's Python-side slice, db/db_search.py:237)."""
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority class (window rank + filter — the
+    distributed form of per-seed top-k) UNION the global top-25
+    (``priority='ALL'``), absorbing the r02 ``topk_orders`` row. The
+    global half is ORDER BY + LIMIT, which must plan as
+    TakeOrderedAndProject — never a global sort (the reference sorts
+    everything and slices in Python, db/db_search.py:237; pinned in
+    test_plans.py)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    per_group = (o.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= 3)
+                 .select(F.col("o_orderpriority").alias("priority"),
+                         "rk", "o_orderkey",
+                         F.col("o_totalprice").alias("price")))
+    top_global = (o.select("o_orderkey",
+                           F.col("o_totalprice").alias("price"))
+                  .orderBy(F.col("price").desc(),
+                           F.col("o_orderkey").asc())
+                  .limit(25)
+                  .withColumn("rk", F.row_number().over(
+                      Window.orderBy(F.col("price").desc(),
+                                     F.col("o_orderkey").asc())))
+                  .select(F.lit("ALL").alias("priority"), "rk",
+                          "o_orderkey", "price"))
+    return per_group.unionByName(top_global).orderBy("priority", "rk")
+
+
+def topk_global_plan_probe(spark, sf_dir):
+    """The global-top-k half alone, for the TakeOrderedAndProject plan
+    assertion (the union adds a rank window on the 25 survivors, which is
+    fine — the heavy scan side still takes the top-k path)."""
     o = _t(spark, sf_dir, "orders")
     return (o.select("o_orderkey", "o_custkey",
                      F.col("o_totalprice").alias("price"))
@@ -247,33 +288,21 @@ def q_topk_orders(spark, sf_dir):
             .limit(25))
 
 
-SQL_TOPK_ORDERS = """
-SELECT o_orderkey, o_custkey, o_totalprice AS price
-FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 25
-"""
-
-
-def q_topk_per_group(spark, sf_dir):
-    """Top-3 orders per priority class (window rank + filter — the
-    distributed form of per-seed top-k)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (o.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
-            .select("o_orderpriority", "rk", "o_orderkey",
-                    F.col("o_totalprice").alias("price"))
-            .orderBy("o_orderpriority", "rk"))
-
-
 SQL_TOPK_PER_GROUP = """
-SELECT o_orderpriority, rk, o_orderkey, price FROM (
-    SELECT o_orderpriority, o_orderkey,
-           o_totalprice AS price,
-           row_number() OVER (PARTITION BY o_orderpriority
-               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-    FROM orders) WHERE rk <= 3
-ORDER BY o_orderpriority, rk
+SELECT * FROM (
+    SELECT o_orderpriority AS priority, rk, o_orderkey, price FROM (
+        SELECT o_orderpriority, o_orderkey,
+               o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders) WHERE rk <= 3
+    UNION ALL
+    SELECT 'ALL' AS priority, rk, o_orderkey, price FROM (
+        SELECT o_orderkey, o_totalprice AS price,
+               row_number() OVER (ORDER BY o_totalprice DESC,
+                                  o_orderkey ASC) AS rk
+        FROM orders) WHERE rk <= 25)
+ORDER BY priority, rk
 """
 
 
@@ -281,42 +310,48 @@ ORDER BY o_orderpriority, rk
 
 
 def q_union_dedup(spark, sf_dir):
-    """U1: union of two overlapping filtered scans + dedup on the key
-    (reference Europeana lat/lon-scan U keyword-scan, collisions collapsed
-    by the id constraint)."""
+    """U1 + U3 set operations in one row (merged r3). ``op='union'``:
+    union of two overlapping filtered scans deduped on the key, ``n`` =
+    how many source branches carried it (reference Europeana
+    lat/lon-scan U keyword-scan, collisions collapsed by the id
+    constraint). ``op='except_all'``: multiset difference counts
+    (candidate minus materialized, the resume anti-join shape)."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy(
-        "o_orderkey")
-
-
-SQL_UNION_DEDUP = """
-SELECT DISTINCT o_orderkey FROM (
-    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
-    UNION ALL
-    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-ORDER BY o_orderkey
-"""
-
-
-def q_except_diff(spark, sf_dir):
-    """U3: set difference (candidate minus materialized, the resume
-    anti-join shape)."""
-    o = _t(spark, sf_dir, "orders")
+    union_part = (a.unionByName(b)
+                  .groupBy("o_orderkey")
+                  .agg(F.count("*").alias("n"))
+                  .select(F.lit("union").alias("op"),
+                          F.col("o_orderkey").cast("long").alias("key"),
+                          "n"))
     big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey")
-    return big.exceptAll(urgent).groupBy("o_custkey").agg(
-        F.count("*").alias("n")).orderBy("o_custkey")
+    except_part = (big.exceptAll(urgent)
+                   .groupBy("o_custkey").agg(F.count("*").alias("n"))
+                   .select(F.lit("except_all").alias("op"),
+                           F.col("o_custkey").cast("long").alias("key"),
+                           "n"))
+    return union_part.unionByName(except_part).orderBy("op", "key")
 
 
-SQL_EXCEPT_DIFF = """
-SELECT o_custkey, count(*) AS n FROM (
-    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-GROUP BY o_custkey ORDER BY o_custkey
+SQL_UNION_DEDUP = """
+SELECT * FROM (
+    SELECT 'union' AS op, CAST(o_orderkey AS BIGINT) AS key,
+           count(*) AS n
+    FROM (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+          UNION ALL
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY o_orderkey
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(o_custkey AS BIGINT) AS key,
+           count(*) AS n
+    FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY o_custkey)
+ORDER BY op, key
 """
 
 
@@ -415,14 +450,11 @@ def relational_queries() -> dict:
         "minmax_ids": q_minmax_ids,
         "broadcast_dim_join": q_broadcast_dim_join,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         "explode_membership_join": q_explode_membership_join,
         "levenshtein_theta_join": q_levenshtein_theta_join,
         "window_order_rank": q_window_order_rank,
-        "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
         "union_dedup": q_union_dedup,
-        "except_diff": q_except_diff,
         "scalar_functions": q_scalar_functions,
         "geo_topk": q_geo_topk,
     }
@@ -434,14 +466,11 @@ def relational_oracle_sql() -> dict:
         "minmax_ids": SQL_MINMAX,
         "broadcast_dim_join": SQL_BROADCAST_JOIN,
         "anti_join": SQL_ANTI_JOIN,
-        "semi_join": SQL_SEMI_JOIN,
         "explode_membership_join": SQL_EXPLODE_JOIN,
         "levenshtein_theta_join": SQL_LEV_JOIN,
         "window_order_rank": SQL_WINDOW_RANK,
-        "topk_orders": SQL_TOPK_ORDERS,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "union_dedup": SQL_UNION_DEDUP,
-        "except_diff": SQL_EXCEPT_DIFF,
         "scalar_functions": SQL_SCALAR_FUNCS,
         "geo_topk": SQL_GEO_TOPK,
     }

@@ -1,19 +1,18 @@
 """Service-level compositions + remaining §2 rows.
 
-- ``search_service``: the EP3 end-to-end search pipeline (reference
-  services/app.py:264-416): fulltext seed lookup -> PPR subgraph ->
-  constrained Dominant-Set clustering (seed first) -> per-result neighbor
-  annotation. The DS tail is iterative replicator dynamics (not
-  SQL-expressible), so this is a rows-only driver check; every
-  SQL-expressible stage it composes is independently green
-  (fulltext_search, ppr_subgraph, node_neighbors, dominant-set pytest).
-- ``ds_constrained``: G5 exposed directly (constrained DS weights).
+- ``search_prefix``: the SQL-expressible prefix of the EP3 search
+  pipeline (reference services/app.py:264-416), VALUE-CHECKED end to
+  end: fulltext seed lookup -> seeded PageRank top-10 -> per-result
+  neighbor annotation. The iterative Dominant-Set tail (replicator
+  dynamics, not SQL-expressible) lives in the rows-only
+  ``dominant_set_clusters`` row (plain G4 + constrained G5 parts).
 - ``graph_modularity``: G6 as a fully distributed aggregate with an
   exact SQL oracle (modularity of the canonical_id partition).
-- ``europeana_clean``: P4 record cleaner (operators/europeana.py).
-- ``latlon_validity``: P5 coordinate-validity predicate as its own row.
-- ``ordered_distinct_tags``: A6 order-preserving distinct.
+- ``europeana_clean``: P4 record cleaner + P5 validity predicate
+  (operators/europeana.py), one merged row.
 - ``image_sink``: S10 side-effect sink manifest (operators/sinks.py).
+- ``story_similar``: T6 similar-stories + T7 stories-by-location, one
+  merged row tagged by ``part``.
 """
 
 from __future__ import annotations
@@ -32,52 +31,83 @@ FT_SEED_TERMS = ["golden", "tower"]
 # --- EP3 composition --------------------------------------------------------
 
 
-def q_search_service(spark, sf_dir):
-    """EP3: search -> PPR -> constrained DS -> neighbor annotation
-    (services/app.py:264-416, db/db_search.py:291-340). max_num=10."""
-    from ..operators.dominant_set import service_clusters
+def q_search_prefix(spark, sf_dir):
+    """EP3's SQL-expressible prefix, now VALUE-CHECKED (r2 verdict #6):
+    fulltext seed lookup over node labels (get_top_similar) -> seeded
+    PageRank top-10 (db/db_search.py:291-316) -> per-result neighbor
+    annotation (get_node_neighbors, services/app.py:264-416). The
+    iterative Dominant-Set tail — the only non-SQL stage — is covered by
+    the rows-only ``dominant_set_clusters`` row (plain + constrained)."""
+    from pyspark.sql import Window
     from ..operators.fulltext import fulltext_topk
-    from ..operators.pagerank import ppr_subgraph
+    from ..operators.pagerank import ppr_topk
 
     a = kg_artifacts(spark, sf_dir)
     nodes, edges = a["nodes"], a["edges"]
-    # stage 1 — fulltext seed: top-1 label match (get_top_similar)
+    # stage 1 — fulltext seed: top-1 label match
     label_docs = nodes.select(F.col("qid").alias("doc_id"),
                               F.col("label").alias("text"))
     seed_row = fulltext_topk(label_docs, FT_SEED_TERMS, k=1).first()
     seed = seed_row["doc_id"] if seed_row else PPR_SEED
-    # stage 2 — PPR-gated subgraph (get_ppr_subgraph)
-    sub = ppr_subgraph(edges, seed, k=8).localCheckpoint()
-    # stage 3 — constrained Dominant-Set, seed cluster first
-    ranked = spark.createDataFrame(
-        service_clusters(sub, seed),
-        "rank int, cluster_id int, qid string, ds_weight double")
-    top = ranked.filter(F.col("rank") < 10)
-    # stage 4 — neighbor annotation (get_node_neighbors per result)
+    # stage 2 — PPR top-10 from the seed
+    top = ppr_topk(edges, seed, k=10)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("rank").desc(), F.col("id").asc())))
+    # stage 3 — neighbor annotation per result
     n_out = edges.groupBy("src").agg(F.count("*").alias("n_neighbors"))
     lbl = nodes.select("qid", "label")
-    return (top.join(F.broadcast(lbl), "qid", "left")
+    return (ranked.withColumnRenamed("id", "qid")
+            .join(F.broadcast(lbl), "qid", "left")
             .join(F.broadcast(n_out.withColumnRenamed("src", "qid")),
                   "qid", "left")
-            .select("rank", "cluster_id", "qid", "label",
+            .select("rk", "qid", "rank", "label",
                     F.coalesce("n_neighbors", F.lit(0)).cast("long")
                     .alias("n_neighbors"))
-            .orderBy("rank"))
+            .orderBy("rk"))
 
 
-def q_ds_constrained(spark, sf_dir):
-    """G5 direct: constrained-DS weights over the PPR subgraph of the
-    hottest entity (reference DominantSet.py:158-195). Rows-only
-    (replicator dynamics); determinism pinned in pytest."""
-    from ..operators.dominant_set import service_clusters
-    from ..operators.pagerank import ppr_subgraph
-    edges = _kg_edges(spark, sf_dir)
-    sub = ppr_subgraph(edges, PPR_SEED, k=8).localCheckpoint()
-    return (spark.createDataFrame(
-        service_clusters(sub, PPR_SEED),
-        "rank int, cluster_id int, qid string, ds_weight double")
-        .select("cluster_id", "qid", "ds_weight")
-        .orderBy("cluster_id", "qid"))
+def sql_search_prefix(p: str) -> str:
+    """The full prefix replayed in DuckDB: tf-idf seed over node labels,
+    the 10-step PPR unrolled with the seed taken from a scalar subquery,
+    then the annotation joins."""
+    from ..operators.pagerank import unrolled_ppr_sql
+    terms = ", ".join(f"('{t.lower()}')" for t in FT_SEED_TERMS)
+    edges_cte = ("WITH RECURSIVE " + _cte(p) + rf"""
+, pedges AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM edges),
+label_docs AS (SELECT qid AS doc_id, label AS text FROM nodes),
+fttoks AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(coalesce(text,
+                      ''))), '\s+')) AS term
+           FROM label_docs),
+ftpost AS (SELECT term, doc_id, count(*) AS tf
+           FROM fttoks WHERE term <> '' GROUP BY term, doc_id),
+ftdf AS (SELECT term, count(DISTINCT doc_id) AS df
+         FROM ftpost GROUP BY term),
+ftq(term) AS (VALUES {terms}),
+ftscored AS (SELECT p2.doc_id,
+                    round(sum(p2.tf * ln(1.0 +
+                        (SELECT count(*) FROM label_docs) / d.df)), 6)
+                        AS score
+             FROM ftpost p2 JOIN ftq USING (term) JOIN ftdf d USING (term)
+             GROUP BY p2.doc_id),
+seedq AS MATERIALIZED (SELECT coalesce(
+    (SELECT doc_id FROM ftscored ORDER BY score DESC, doc_id ASC LIMIT 1),
+    '{PPR_SEED}') AS s)""")
+    return (unrolled_ppr_sql(edges_cte, PPR_SEED,
+                             seed_expr="(SELECT s FROM seedq)") + """
+, top AS (SELECT id, rank, rk FROM (
+     SELECT id, rank,
+            row_number() OVER (ORDER BY rank DESC, id ASC) AS rk
+     FROM ppr) WHERE rk <= 10),
+nout AS (SELECT src AS qid, count(*) AS n_neighbors
+         FROM edges GROUP BY src)
+SELECT t.rk, t.id AS qid, t.rank, n.label,
+       CAST(coalesce(o.n_neighbors, 0) AS BIGINT) AS n_neighbors
+FROM top t
+LEFT JOIN nodes n ON t.id = n.qid
+LEFT JOIN nout o ON t.id = o.qid
+ORDER BY t.rk""")
 
 
 def q_graph_modularity(spark, sf_dir):
@@ -173,9 +203,19 @@ def _europeana_records(spark, sf_dir):
 
 
 def q_europeana_clean(spark, sf_dir):
-    """P4: the Europeana record cleaner
-    (ingestion/europeana_ingestion_places.py:69-120), columnar."""
-    return clean_records(_europeana_records(spark, sf_dir)).orderBy("wid")
+    """P4 + P5 in one row (merged r3): the Europeana record cleaner
+    (ingestion/europeana_ingestion_places.py:69-120), columnar, with the
+    P5 coordinate-validity predicate (ingestion/utils.py:71-81) exposed
+    as an explicit ``valid`` column per record."""
+    rec = _europeana_records(spark, sf_dir)
+    flags = rec.select(
+        F.concat(F.lit("eid_"), F.col("id")).alias("wid"),
+        valid_latlon(F.col("edmPlaceLatitude").cast("double"),
+                     F.col("edmPlaceLongitude").cast("double"))
+        .alias("valid"))
+    return (clean_records(rec)
+            .join(flags, "wid")
+            .orderBy("wid"))
 
 
 SQL_EUROPEANA = """
@@ -196,7 +236,8 @@ SELECT 'eid_' || id AS wid,
        CASE WHEN NOT valid THEN CAST(CAST(lat AS BIGINT) AS VARCHAR) END
            AS edmPlaceLatitude,
        CASE WHEN NOT valid THEN CAST(CAST(lon AS BIGINT) AS VARCHAR) END
-           AS edmPlaceLongitude
+           AS edmPlaceLongitude,
+       valid
 FROM ok ORDER BY wid
 """
 
@@ -220,45 +261,6 @@ WITH rec AS (
 SELECT (lat >= -90 AND lat <= 90 AND lon >= -180 AND lon <= 180) AS valid,
        count(*) AS n
 FROM rec GROUP BY valid ORDER BY valid
-"""
-
-
-# --- A6: order-preserving distinct ------------------------------------------
-
-
-def q_ordered_distinct_tags(spark, sf_dir):
-    """A6: order-preserving distinct (the reference deduped Wikidata tag
-    lists while keeping first-occurrence order, recursive_hops harvesting).
-    First 10 distinct tokens per document in order of first appearance —
-    groupBy(token) min(position), re-sorted by that position; no
-    order-destroying array_distinct."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = (docs.select("doc_id",
-                        F.posexplode(F.split(F.trim(F.lower(F.coalesce(
-                            F.col("text"), F.lit("")))), r"\s+"))
-                        .alias("pos", "tok"))
-            .filter(F.col("tok") != ""))
-    firsts = toks.groupBy("doc_id", "tok").agg(F.min("pos").alias("fp"))
-    return (firsts.groupBy("doc_id")
-            .agg(F.concat_ws(",", F.slice(F.transform(
-                F.array_sort(F.collect_list(F.struct("fp", "tok"))),
-                lambda s: s["tok"]), 1, 10)).alias("tags"))
-            .orderBy("doc_id"))
-
-
-SQL_ORDERED_DISTINCT = r"""
-WITH toks AS (
-    SELECT doc_id,
-           generate_subscripts(string_split_regex(trim(lower(coalesce(
-               text, ''))), '\s+'), 1) - 1 AS pos,
-           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
-                  '\s+')) AS tok
-    FROM documents),
-firsts AS (SELECT doc_id, tok, min(pos) AS fp
-           FROM toks WHERE tok <> '' GROUP BY doc_id, tok)
-SELECT doc_id,
-       array_to_string(list(tok ORDER BY fp, tok)[1:10], ',') AS tags
-FROM firsts GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -319,51 +321,58 @@ stories AS (SELECT doc_id AS story_id,
 
 
 def q_story_similar(spark, sf_dir):
-    """T6 native: top-10 stories most textually similar to story 1 by
+    """T6 + T7 native story surface in one row (merged r3):
+    ``part='sim'`` — top-10 stories most textually similar to story 1 by
     levenshteinSimilarity over descriptions (reference
     connect_story_by_textual_sim + get_similar_stories,
-    db/db_connection.py:382-404)."""
+    db/db_connection.py:382-404); ``part='loc'`` — top-10 stories
+    nearest a fixed point (get_stories_by_location,
+    db/db_search.py:261-288), scored by haversine distance."""
+    from ..functions.geo import haversine_km
     st = _stories(spark, sf_dir)
     probe = st.filter(F.col("story_id") == 1).select(
         F.col("description").alias("probe_desc"))
     pairs = st.filter(F.col("story_id") != 1).crossJoin(F.broadcast(probe))
     sim = (F.lit(1.0) - F.levenshtein("description", "probe_desc")
            / F.greatest(F.length("description"), F.length("probe_desc")))
-    return (pairs.select("story_id", F.round(sim, 6).alias("similarity"))
-            .orderBy(F.col("similarity").desc(), F.col("story_id").asc())
-            .limit(10))
+    sim_part = (pairs.select("story_id", "title",
+                             F.round(sim, 6).alias("score"))
+                .orderBy(F.col("score").desc(), F.col("story_id").asc())
+                .limit(10)
+                .select(F.lit("sim").alias("part"), "story_id", "title",
+                        "score"))
+    d = haversine_km(F.lit(41.9), F.lit(12.5), F.col("lat"), F.col("lon"))
+    loc_part = (st.select("story_id", "title",
+                          F.round(d, 4).alias("score"))
+                .orderBy(F.col("score").asc(), F.col("story_id").asc())
+                .limit(10)
+                .select(F.lit("loc").alias("part"), "story_id", "title",
+                        "score"))
+    return (sim_part.unionByName(loc_part)
+            .orderBy("part", "story_id"))
 
 
 SQL_STORY_SIMILAR = "WITH " + _STORIES_SQL + """,
-probe AS (SELECT description AS probe_desc FROM stories WHERE story_id = 1)
-SELECT story_id,
-       round(1.0 - levenshtein(description, probe_desc)
-             / greatest(length(description), length(probe_desc)), 6)
-           AS similarity
-FROM stories, probe WHERE story_id <> 1
-ORDER BY similarity DESC, story_id ASC LIMIT 10
-"""
-
-
-def q_story_by_location(spark, sf_dir):
-    """T7 native: top-10 stories nearest a point (reference
-    get_stories_by_location, db/db_search.py:261-288 shape)."""
-    from ..functions.geo import haversine_km
-    st = _stories(spark, sf_dir)
-    d = haversine_km(F.lit(41.9), F.lit(12.5), F.col("lat"), F.col("lon"))
-    return (st.select("story_id", "title",
-                      F.round(d, 4).alias("dist_km"))
-            .orderBy(F.col("dist_km").asc(), F.col("story_id").asc())
-            .limit(10))
-
-
-SQL_STORY_BY_LOCATION = "WITH " + _STORIES_SQL + """
-SELECT story_id, title,
-       round(2 * 6371.0088 * asin(sqrt(
-           sin(radians(lat - 41.9) / 2) ^ 2 +
-           cos(radians(41.9)) * cos(radians(lat)) *
-           sin(radians(lon - 12.5) / 2) ^ 2)), 4) AS dist_km
-FROM stories ORDER BY dist_km ASC, story_id ASC LIMIT 10
+probe AS (SELECT description AS probe_desc FROM stories WHERE story_id = 1),
+simtop AS (
+    SELECT story_id, title,
+           round(1.0 - levenshtein(description, probe_desc)
+                 / greatest(length(description), length(probe_desc)), 6)
+               AS score
+    FROM stories, probe WHERE story_id <> 1
+    ORDER BY score DESC, story_id ASC LIMIT 10),
+loctop AS (
+    SELECT story_id, title,
+           round(2 * 6371.0088 * asin(sqrt(
+               sin(radians(lat - 41.9) / 2) ^ 2 +
+               cos(radians(41.9)) * cos(radians(lat)) *
+               sin(radians(lon - 12.5) / 2) ^ 2)), 4) AS score
+    FROM stories ORDER BY score ASC, story_id ASC LIMIT 10)
+SELECT * FROM (
+    SELECT 'sim' AS part, story_id, title, score FROM simtop
+    UNION ALL
+    SELECT 'loc' AS part, story_id, title, score FROM loctop)
+ORDER BY part, story_id
 """
 
 
@@ -407,15 +416,11 @@ def _sql_stream_conv_counts(p: str) -> str:
 
 def service_queries() -> dict:
     return {
-        "search_service": q_search_service,   # rows-only (DS tail)
-        "ds_constrained": q_ds_constrained,   # rows-only (G5)
+        "search_prefix": q_search_prefix,
         "graph_modularity": q_graph_modularity,
         "europeana_clean": q_europeana_clean,
-        "latlon_validity": q_latlon_validity,
-        "ordered_distinct_tags": q_ordered_distinct_tags,
         "image_sink": q_image_sink,
         "story_similar": q_story_similar,
-        "story_by_location": q_story_by_location,
         "stream_conv_counts": q_stream_conv_counts,
     }
 
@@ -424,12 +429,10 @@ def service_oracle_sql(sf: float = 0.01) -> dict:
     from ..synth.generator import synth_dir
     p = synth_dir(sf)
     return {
+        "search_prefix": sql_search_prefix(p),
         "graph_modularity": sql_graph_modularity(p),
         "europeana_clean": SQL_EUROPEANA,
-        "latlon_validity": SQL_LATLON,
-        "ordered_distinct_tags": SQL_ORDERED_DISTINCT,
         "image_sink": SQL_IMAGE_SINK,
         "story_similar": SQL_STORY_SIMILAR,
-        "story_by_location": SQL_STORY_BY_LOCATION,
         "stream_conv_counts": _sql_stream_conv_counts(p),
     }

@@ -28,7 +28,13 @@ FROM documents ORDER BY doc_id
 
 
 def q_quality_scores(spark, sf_dir):
-    return T.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+    """Quality scoring + language-ID in one per-doc audit row (merged r3
+    for the 50-row budget; both computations run in full and every
+    column is value-hashed)."""
+    docs = _docs(spark, sf_dir)
+    return (T.quality_scores(docs)
+            .join(T.lang_id(docs), "doc_id")
+            .orderBy("doc_id"))
 
 
 SQL_QUALITY = r"""
@@ -62,73 +68,135 @@ SELECT doc_id,
 FROM z ORDER BY doc_id
 """
 
+SQL_QUALITY_LANG = (
+    "WITH quality AS (" + SQL_QUALITY.replace("ORDER BY doc_id", "") + """),
+lx AS (SELECT doc_id,
+              string_split_regex(trim(lower(coalesce(text, ''))),
+                                 '\\s+') AS toks
+       FROM documents),
+lh AS (SELECT doc_id,
+              len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','that','for'],
+                  x))) AS hits_en,
+              len(list_filter(toks, x -> list_contains(
+                  ['el','la','los','las','de','y','un','una','es','que'],
+                  x))) AS hits_es,
+              len(list_filter(toks, x -> list_contains(
+                  ['le','la','et','les','des','un','une','du','est','que'],
+                  x))) AS hits_fr
+       FROM lx),
+lang AS (SELECT doc_id,
+                CAST(hits_en AS BIGINT) AS hits_en,
+                CAST(hits_es AS BIGINT) AS hits_es,
+                CAST(hits_fr AS BIGINT) AS hits_fr,
+                CASE WHEN greatest(hits_en, hits_es, hits_fr) <= 0
+                          THEN 'und'
+                     WHEN hits_en = greatest(hits_en, hits_es, hits_fr)
+                          THEN 'en'
+                     WHEN hits_es = greatest(hits_en, hits_es, hits_fr)
+                          THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+         FROM lh)
+SELECT q.*, l.hits_en, l.hits_es, l.hits_fr, l.pred_lang
+FROM quality q JOIN lang l USING (doc_id) ORDER BY doc_id
+""")
 
-def q_lang_id(spark, sf_dir):
-    return T.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
-
-SQL_LANG_ID = r"""
-WITH x AS (
-    SELECT doc_id,
-           string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS toks
-    FROM documents),
-h AS (SELECT doc_id,
-             len(list_filter(toks, x -> list_contains(
-                 ['the','and','of','to','a','in','is','it','that','for'],
-                 x))) AS hits_en,
-             len(list_filter(toks, x -> list_contains(
-                 ['el','la','los','las','de','y','un','una','es','que'],
-                 x))) AS hits_es,
-             len(list_filter(toks, x -> list_contains(
-                 ['le','la','et','les','des','un','une','du','est','que'],
-                 x))) AS hits_fr
-      FROM x)
-SELECT doc_id,
-       CAST(hits_en AS BIGINT) AS hits_en,
-       CAST(hits_es AS BIGINT) AS hits_es,
-       CAST(hits_fr AS BIGINT) AS hits_fr,
-       CASE WHEN greatest(hits_en, hits_es, hits_fr) <= 0 THEN 'und'
-            WHEN hits_en = greatest(hits_en, hits_es, hits_fr) THEN 'en'
-            WHEN hits_es = greatest(hits_en, hits_es, hits_fr) THEN 'es'
-            ELSE 'fr' END AS pred_lang
-FROM h ORDER BY doc_id
-"""
+def ordered_distinct_tags(docs):
+    """A6: order-preserving distinct (the reference deduped Wikidata tag
+    lists while keeping first-occurrence order, recursive_hops
+    harvesting). First 10 distinct tokens per document in order of first
+    appearance — groupBy(token) min(position), re-sorted by that
+    position; no order-destroying array_distinct."""
+    toks = (docs.select("doc_id",
+                        F.posexplode(F.split(F.trim(F.lower(F.coalesce(
+                            F.col("text"), F.lit("")))), r"\s+"))
+                        .alias("pos", "tok"))
+            .filter(F.col("tok") != ""))
+    firsts = toks.groupBy("doc_id", "tok").agg(F.min("pos").alias("fp"))
+    return (firsts.groupBy("doc_id")
+            .agg(F.concat_ws(",", F.slice(F.transform(
+                F.array_sort(F.collect_list(F.struct("fp", "tok"))),
+                lambda s: s["tok"]), 1, 10)).alias("tags")))
 
 
 def q_fingerprint(spark, sf_dir):
-    return T.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+    """Document fingerprint (md5 of the sorted distinct token set) joined
+    with the A6 order-preserving distinct tag list (merged r3)."""
+    docs = _docs(spark, sf_dir)
+    return (T.fingerprint(docs)
+            .join(ordered_distinct_tags(docs), "doc_id", "left")
+            .select("doc_id", "fingerprint",
+                    F.coalesce("tags", F.lit("")).alias("tags"))
+            .orderBy("doc_id"))
 
 
 SQL_FINGERPRINT = r"""
-SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(
-           string_split_regex(trim(lower(coalesce(text, ''))), '\s+'))),
-           ' ')) AS fingerprint
-FROM documents ORDER BY doc_id
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(coalesce(text, ''))),
+                                  '\s+'))), ' ')) AS fingerprint
+    FROM documents),
+toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(lower(coalesce(
+               text, ''))), '\s+'), 1) - 1 AS pos,
+           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                  '\s+')) AS tok
+    FROM documents),
+firsts AS (SELECT doc_id, tok, min(pos) AS fp
+           FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+tags AS (SELECT doc_id,
+                array_to_string(list(tok ORDER BY fp, tok)[1:10], ',')
+                    AS tags
+         FROM firsts GROUP BY doc_id)
+SELECT f.doc_id, f.fingerprint, coalesce(t.tags, '') AS tags
+FROM fp f LEFT JOIN tags t USING (doc_id) ORDER BY f.doc_id
 """
 
 
 def q_events_windowed(spark, sf_dir):
-    """Tumbling 5-minute window aggregation over the events stream table
-    (the batch twin of the Structured Streaming path; window key is the
-    epoch bucket so the oracle is engine-portable)."""
+    """Events aggregations in one row (merged r3): ``part='win'`` —
+    tumbling 5-minute window aggregation (the batch twin of the
+    Structured Streaming path; window key is the epoch bucket so the
+    oracle is engine-portable); ``part='json'`` — F13/F14 JSON traversal
+    of the props payload column, aggregated by k % 10."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     bucket = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 300)
-    return (e.groupBy(bucket.alias("win_start"),
-                      F.col("event_type"))
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
-                 .alias("value_c"))
-            .orderBy("win_start", "event_type"))
+    win = (e.groupBy(bucket.alias("key"), F.col("event_type"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .alias("v"))
+           .select(F.lit("win").alias("part"), "key", "event_type",
+                   "n", "v"))
+    js = (e.select("event_id",
+                   F.get_json_object("props", "$.k").cast("int").alias("k"))
+          .filter(F.col("k").isNotNull())
+          .groupBy((F.col("k") % 10).cast("long").alias("key"))
+          .agg(F.count("*").alias("n"), F.sum("k").alias("v"))
+          .select(F.lit("json").alias("part"), "key",
+                  F.lit(None).cast("string").alias("event_type"),
+                  "n", "v"))
+    return win.unionByName(js).orderBy("part", "key", "event_type")
 
 
 SQL_EVENTS_WINDOWED = """
-SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 300
-           AS win_start,
-       event_type, count(*) AS n,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
-FROM events GROUP BY win_start, event_type
-ORDER BY win_start, event_type
+SELECT * FROM (
+    SELECT 'win' AS part,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS key,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY key, event_type
+    UNION ALL
+    SELECT 'json' AS part, CAST(k % 10 AS BIGINT) AS key,
+           CAST(NULL AS VARCHAR) AS event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS v
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    WHERE k IS NOT NULL GROUP BY k % 10)
+ORDER BY part, key, event_type
 """
 
 
@@ -177,47 +245,21 @@ FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
-def q_events_json_props(spark, sf_dir):
-    """F13/F14: JSON traversal of the props payload column."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (e.select("event_id",
-                     F.get_json_object("props", "$.k").cast("int")
-                     .alias("k"))
-            .filter(F.col("k").isNotNull())
-            .groupBy((F.col("k") % 10).alias("k_mod"))
-            .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
-            .orderBy("k_mod"))
-
-
-SQL_EVENTS_JSON = """
-WITH j AS (SELECT event_id,
-                  CAST(json_extract_string(props, '$.k') AS INT) AS k
-           FROM events)
-SELECT k % 10 AS k_mod, count(*) AS n,
-       CAST(sum(k) AS BIGINT) AS k_sum
-FROM j WHERE k IS NOT NULL GROUP BY k_mod ORDER BY k_mod
-"""
-
-
 def text_queries() -> dict:
     return {
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
-        "events_json_props": q_events_json_props,
     }
 
 
 def text_oracle_sql() -> dict:
     return {
         "token_stats": SQL_TOKEN_STATS,
-        "quality_scores": SQL_QUALITY,
-        "lang_id": SQL_LANG_ID,
+        "quality_scores": SQL_QUALITY_LANG,
         "doc_fingerprint": SQL_FINGERPRINT,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessionized": SQL_EVENTS_SESSION,
-        "events_json_props": SQL_EVENTS_JSON,
     }

@@ -58,11 +58,49 @@ jac AS (SELECT i.a_id, i.b_id,
 
 
 def q_ann_brute_topk(spark, sf_dir):
-    """Exact cosine top-10 neighbors of vec_id=0 (brute-force baseline;
-    T2 analogue of the reference's radius+cosine search)."""
+    """Exact embedding-metric family in one row (merged r3 for the
+    driver's 50-row budget):
+
+    - ``part='cos'``: exact cosine top-10 neighbors of vec_id=0 (the
+      brute-force ANN baseline; T2 analogue of the reference's
+      radius+cosine search);
+    - ``part='euc'``: euclidean top-10 (T4/F9 — reference
+      gds.alpha.similarity.euclideanDistance, db/db_search.py:99-150);
+    - ``part='norm'``: per-label vector-norm audit (array higher-order
+      functions; the 'is the embedding column healthy' query)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.brute_topk(emb.filter(F.col("vec_id") != 0), list(qvec), 10)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    rest = emb.filter(F.col("vec_id") != 0)
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+    cos = (S.brute_topk(rest, list(qvec), 10)
+           .select(F.lit("cos").alias("part"),
+                   F.col("vec_id").cast("long").alias("vec_id"),
+                   nul_s.alias("label"),
+                   F.col("sim").alias("score"),
+                   nul_l.alias("n")))
+    euc = (rest.select("vec_id",
+                       F.round(S.euclidean(F.col("embedding"), q), 4)
+                       .alias("dist"))
+           .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+           .limit(10)
+           .select(F.lit("euc").alias("part"),
+                   F.col("vec_id").cast("long").alias("vec_id"),
+                   nul_s.alias("label"),
+                   F.col("dist").alias("score"),
+                   nul_l.alias("n")))
+    nrm = (emb.select("label", S.norm(F.col("embedding")).alias("nrm"))
+           .groupBy("label")
+           .agg(F.count("*").alias("n"),
+                F.round(F.avg("nrm"), 4).alias("avg_norm"))
+           .select(F.lit("norm").alias("part"),
+                   nul_l.alias("vec_id"),
+                   F.col("label").cast("string").alias("label"),
+                   F.col("avg_norm").alias("score"),
+                   F.col("n").cast("long").alias("n")))
+    return (cos.unionByName(euc).unionByName(nrm)
+            .orderBy("part", "vec_id", "label"))
 
 
 SQL_ANN_BRUTE = """
@@ -71,10 +109,35 @@ pairs AS (SELECT e.vec_id,
                  CAST(unnest(e.embedding) AS DOUBLE) AS x,
                  CAST(unnest(q.qv) AS DOUBLE) AS y
           FROM embeddings e, q WHERE e.vec_id <> 0),
-sums AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
-         FROM pairs GROUP BY vec_id)
-SELECT vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim
-FROM sums ORDER BY sim DESC, vec_id ASC LIMIT 10
+sums AS (SELECT vec_id, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny,
+                sum((x - y) * (x - y)) AS ss
+         FROM pairs GROUP BY vec_id),
+cos AS (SELECT vec_id, round(d / (sqrt(nx) * sqrt(ny)), 4) AS sim
+        FROM sums ORDER BY sim DESC, vec_id ASC LIMIT 10),
+euc AS (SELECT vec_id, round(sqrt(ss), 4) AS dist
+        FROM sums ORDER BY dist ASC, vec_id ASC LIMIT 10),
+comps AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+norms AS (SELECT label, vec_id, sqrt(sum(v * v)) AS nrm
+          FROM comps GROUP BY label, vec_id),
+nstat AS (SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
+          FROM norms GROUP BY label)
+SELECT * FROM (
+    SELECT 'cos' AS part, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(NULL AS VARCHAR) AS label, sim AS score,
+           CAST(NULL AS BIGINT) AS n
+    FROM cos
+    UNION ALL
+    SELECT 'euc' AS part, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(NULL AS VARCHAR) AS label, dist AS score,
+           CAST(NULL AS BIGINT) AS n
+    FROM euc
+    UNION ALL
+    SELECT 'norm' AS part, CAST(NULL AS BIGINT) AS vec_id,
+           CAST(label AS VARCHAR) AS label,
+           avg_norm AS score, CAST(n AS BIGINT) AS n
+    FROM nstat)
+ORDER BY part, vec_id, label
 """
 
 
@@ -316,14 +379,33 @@ WHERE group_size > 1 ORDER BY doc_id
 """
 
 
+JACCARD_MAX_DF = 64  # hot-shingle candidate cap: bounds any candidate
+# bucket at max_df^2 pairs (a single stop-shingle is otherwise a
+# quadratic bucket at corpus scale); exact Jaccard on survivors.
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    return (D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    """n-gram Jaccard near-dups, registered in the df-CAPPED form (r2
+    verdict: the uncapped default must never be the registered path).
+    The oracle applies the identical cap, and test_round2 pins both the
+    recall bound and the hot-shingle anti-join in the physical plan."""
+    return (D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2,
+                            max_df=JACCARD_MAX_DF)
             .orderBy("a_id", "b_id"))
 
 
-SQL_DEDUP_JACCARD = ("WITH " + _SHINGLE_SQL + """
-SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
-ORDER BY a_id, b_id""")
+SQL_DEDUP_JACCARD = ("WITH " + _SHINGLE_SQL + f""",
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {JACCARD_MAX_DF}),
+cold AS (SELECT doc_id, shingle FROM sh
+         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM cold a JOIN cold b USING (shingle)
+          WHERE a.doc_id < b.doc_id)
+SELECT j.a_id, j.b_id, j.jaccard
+FROM jac j JOIN cands c ON j.a_id = c.a_id AND j.b_id = c.b_id
+WHERE j.jaccard >= 0.2
+ORDER BY j.a_id, j.b_id""")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -432,27 +514,6 @@ ORDER BY a_id, b_id
 """
 
 
-def q_embedding_stats(spark, sf_dir):
-    """Aggregate vector stats per label (array higher-order functions:
-    norms, means) — the 'is the embedding column healthy' audit query."""
-    emb = _emb(spark, sf_dir)
-    return (emb.select("label", S.norm(F.col("embedding")).alias("nrm"))
-            .groupBy("label")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.avg("nrm"), 4).alias("avg_norm"))
-            .orderBy("label"))
-
-
-SQL_EMB_STATS = """
-WITH x AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
-           FROM embeddings),
-norms AS (SELECT label, vec_id, sqrt(sum(v * v)) AS nrm
-          FROM x GROUP BY label, vec_id)
-SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm
-FROM norms GROUP BY label ORDER BY label
-"""
-
-
 def vector_queries() -> dict:
     return {
         "ann_brute_topk": q_ann_brute_topk,
@@ -465,7 +526,6 @@ def vector_queries() -> dict:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "embedding_stats": q_embedding_stats,
     }
 
 
@@ -481,5 +541,4 @@ def vector_oracle_sql() -> dict:
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_embedding": SQL_DEDUP_EMBEDDING,
-        "embedding_stats": SQL_EMB_STATS,
     }

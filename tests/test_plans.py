@@ -66,9 +66,9 @@ def test_topk_plans_take_ordered(spark, testdata_sf001):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject — the
     inconsistently-pushed-down LIMIT of the reference (db/db_search.py:237
     sorts everything, slices in Python) is the perf bug we must not have."""
-    import __spark_entry__ as mod
+    from memex_kg_spark.queries.relational import topk_global_plan_probe
 
-    df = mod.queries()["topk_orders"](spark, testdata_sf001)
+    df = topk_global_plan_probe(spark, testdata_sf001)
     assert "TakeOrderedAndProject" in _plan(df)
 
 

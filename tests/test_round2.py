@@ -141,10 +141,10 @@ def test_latlon_validity_oracle(spark, testdata_sf01):
 
 
 def test_ordered_distinct_oracle(spark, testdata_sf01):
-    from memex_kg_spark.queries.service import (SQL_ORDERED_DISTINCT,
-                                                q_ordered_distinct_tags)
-    ok, msg = compare(q_ordered_distinct_tags(spark, testdata_sf01),
-                      SQL_ORDERED_DISTINCT, testdata_sf01)
+    """A6 now rides in the merged doc_fingerprint row (textq)."""
+    from memex_kg_spark.queries.textq import SQL_FINGERPRINT, q_fingerprint
+    ok, msg = compare(q_fingerprint(spark, testdata_sf01),
+                      SQL_FINGERPRINT, testdata_sf01)
     assert ok, msg
 
 
@@ -168,13 +168,20 @@ def test_graph_modularity_oracle(spark, testdata_sf01):
     assert ok, msg
 
 
-def test_search_service_shape_and_determinism(spark, testdata_sf01):
-    from memex_kg_spark.queries.service import q_search_service
-    a = [tuple(r) for r in q_search_service(spark, testdata_sf01).collect()]
-    b = [tuple(r) for r in q_search_service(spark, testdata_sf01).collect()]
+def test_search_prefix_oracle_and_determinism(spark, testdata_sf01):
+    from memex_kg_spark.queries.service import (q_search_prefix,
+                                                sql_search_prefix)
+    from memex_kg_spark.synth.generator import synth_dir
+    df = q_search_prefix(spark, testdata_sf01)
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r)
+         for r in q_search_prefix(spark, testdata_sf01).collect()]
     assert a == b
     assert 0 < len(a) <= 10
-    assert a[0][0] == 0  # rank starts at the seed row
+    assert a[0][0] == 1  # rk starts at 1 (the seed row ranks first)
+    ok, msg = compare(df, sql_search_prefix(synth_dir(0.01)),
+                      testdata_sf01)
+    assert ok, msg
 
 
 def test_csv_manual_max_mid_is_computed(spark, testdata_sf01):
