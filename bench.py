@@ -124,7 +124,7 @@ def run_pipeline(spark, synth_path: str, known_n_triples: int | None = None,
     c_pre = c_post
     t0 = time.time()
     nodes = build_nodes(triples, d["alias_dim"]).persist()
-    edges = build_edges(triples, nodes)
+    edges = build_edges(triples, nodes, d["pred_dim"])
     with ThreadPoolExecutor(2) as ex:  # independent sinks, overlapped
         f_n = ex.submit(noop_write, nodes)
         f_e = ex.submit(noop_write, edges)
@@ -628,7 +628,7 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
 
     def build_nodes_edges() -> None:
         nodes = build_nodes(caches["triples"], d["alias_dim"]).persist()
-        edges = build_edges(caches["triples"], nodes)
+        edges = build_edges(caches["triples"], nodes, d["pred_dim"])
         with ThreadPoolExecutor(2) as ex:
             f_n = ex.submit(noop_write, nodes)
             f_e = ex.submit(noop_write, edges)

@@ -138,14 +138,57 @@ class ResumableKGWriter:
         return self.spark.read.parquet(self.triples_path).drop("bucket")
 
     def finalize_graph(self) -> tuple[DataFrame, DataFrame]:
+        """Derive nodes/edges from the materialized triples
+        INCREMENTALLY: only buckets committed since the last finalize are
+        scanned (partition pruning on the ``bucket=K/`` directories);
+        their candidate nodes/edges are anti-joined against the existing
+        snapshot and appended. The first finalize is a full build.
+
+        Convergence argument (pytest-pinned): node attributes and edge
+        labels come from static dimensions, so a node/edge row is
+        identical no matter which bucket first introduced it; a new
+        edge's endpoints appear in the new buckets' own triples, so
+        endpoint gating against the new buckets' candidate nodes is
+        exact. Crash-safe: the state file is written AFTER the appends,
+        and a replayed append is fully absorbed by the anti-joins."""
+        import json
         d = pipeline.load_synth(self.spark, self.synth_path)
-        triples = self.triples().localCheckpoint()
-        nodes = build_nodes(triples, d["alias_dim"])
-        edges = build_edges(triples, nodes)
         nodes_path = os.path.join(self.out_root, "nodes")
         edges_path = os.path.join(self.out_root, "edges")
-        nodes.write.mode("overwrite").parquet(nodes_path)
-        edges.write.mode("overwrite").parquet(edges_path)
+        state_path = os.path.join(self.out_root, "_FINALIZED.json")
+        done: list[int] = []
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                done = json.load(f)["buckets"]
+        committed = sorted(self.committed_buckets())
+        new = [b for b in committed if b not in set(done)]
+        self.last_finalize = {"buckets_scanned": new,
+                              "mode": "incremental" if done else "full"}
+        if done and not new:
+            return (self.spark.read.parquet(nodes_path),
+                    self.spark.read.parquet(edges_path))
+        tri_new = (self.spark.read.parquet(self.triples_path)
+                   .filter(F.col("bucket").isin([int(b) for b in new]))
+                   .drop("bucket").localCheckpoint())
+        cand_nodes = build_nodes(tri_new, d["alias_dim"])
+        cand_edges = build_edges(tri_new, cand_nodes, d["pred_dim"])
+        if not done:
+            cand_nodes.write.mode("overwrite").parquet(nodes_path)
+            cand_edges.write.mode("overwrite").parquet(edges_path)
+        else:
+            old_nodes = self.spark.read.parquet(nodes_path)
+            old_edges = self.spark.read.parquet(edges_path)
+            add_nodes = cand_nodes.join(old_nodes.select("qid"),
+                                        "qid", "left_anti")
+            add_edges = cand_edges.join(
+                old_edges.select("src", "pred", "dst"),
+                ["src", "pred", "dst"], "left_anti")
+            add_nodes.write.mode("append").parquet(nodes_path)
+            add_edges.write.mode("append").parquet(edges_path)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": committed}, f)
+        os.replace(tmp, state_path)
         return (self.spark.read.parquet(nodes_path),
                 self.spark.read.parquet(edges_path))
 

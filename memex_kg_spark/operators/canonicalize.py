@@ -58,7 +58,11 @@ def entity_dim(alias_dim: DataFrame) -> DataFrame:
 
 def build_nodes(triples: DataFrame, alias_dim: DataFrame) -> DataFrame:
     """Nodes = every qid appearing as a subject or entity-typed object,
-    joined to the entity dimension, with canonical_id from hash-min CC.
+    joined to the entity dimension, with canonical_id from hash-min CC
+    and the dynamic property map (SURVEY §1.3: the reference spills every
+    harvested property/value pair onto the node,
+    db/db_connection.py:102-148; here ``props map<string,string>`` built
+    from the aligned prop_keys/prop_vals arrays).
 
     The triple side reduces to a distinct id set BEFORE any join — the
     only shuffle is on the (small) distinct ids, never on raw triples.
@@ -73,12 +77,20 @@ def build_nodes(triples: DataFrame, alias_dim: DataFrame) -> DataFrame:
     return (ids.join(F.broadcast(dim), "qid")
             .join(F.broadcast(canon), "qid")
             .select("qid", "label", "node_type", "lat", "lon",
-                    "canonical_id"))
+                    "canonical_id",
+                    F.map_from_arrays("prop_keys", "prop_vals")
+                    .alias("props")))
 
 
-def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
+def build_edges(triples: DataFrame, nodes: DataFrame,
+                pred_dim: DataFrame | None = None) -> DataFrame:
     """Entity edges with endpoint-existence gating (reference J5) and
-    (src,pred,dst) dedup (reference one-edge-per-claim, U3)."""
+    (src,pred,dst) dedup (reference one-edge-per-claim, U3), carrying the
+    multilingual label map the reference attaches to every edge
+    (``{en,fr,pt,es}``, db/db_connection.py:189-200). Locale labels come
+    from a broadcast join against the predicate dimension; predicates
+    without a locale row (claim-derived preds) fall back to the English
+    label, per reference recursive_hops_ingestion.py:50-51."""
     e = (triples.filter(F.col("obj_type") == "entity")
          .select(F.col("subj").alias("src"), "pred",
                  F.col("obj").alias("dst")))
@@ -86,6 +98,20 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     e = (e.join(F.broadcast(node_ids.withColumnRenamed("qid", "src")),
                 "src", "left_semi")
           .join(F.broadcast(node_ids.withColumnRenamed("qid", "dst")),
-                "dst", "left_semi"))
-    return e.select("src", "pred", "dst").dropDuplicates(
-        ["src", "pred", "dst"])
+                "dst", "left_semi")
+          .select("src", "pred", "dst")
+          .dropDuplicates(["src", "pred", "dst"]))
+    if pred_dim is not None:
+        loc = (pred_dim.select("pred", "pred_fr", "pred_pt", "pred_es")
+               .distinct())
+        e = e.join(F.broadcast(loc), "pred", "left")
+    else:
+        e = (e.withColumn("pred_fr", F.col("pred"))
+             .withColumn("pred_pt", F.col("pred"))
+             .withColumn("pred_es", F.col("pred")))
+    labels = F.create_map(
+        F.lit("en"), F.col("pred"),
+        F.lit("fr"), F.coalesce("pred_fr", F.col("pred")),
+        F.lit("pt"), F.coalesce("pred_pt", F.col("pred")),
+        F.lit("es"), F.coalesce("pred_es", F.col("pred")))
+    return e.select("src", "pred", "dst", labels.alias("labels"))

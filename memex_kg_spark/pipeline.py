@@ -135,7 +135,7 @@ def build_kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     triples = triples_from_statements(statements, d["alias_dim"],
                                       d["pred_dim"])
     nodes = build_nodes(triples, d["alias_dim"])
-    edges = build_edges(triples, nodes)
+    edges = build_edges(triples, nodes, d["pred_dim"])
     return {"statements": statements, "mentions": mentions,
             "linked_mentions": linked, "triples": triples,
             "nodes": nodes, "edges": edges}

@@ -63,7 +63,7 @@ def kg_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         statements, d["alias_dim"], d["pred_dim"]).localCheckpoint()
     from ..operators.canonicalize import build_edges, build_nodes
     nodes = build_nodes(triples, d["alias_dim"]).localCheckpoint()
-    edges = build_edges(triples, nodes).localCheckpoint()
+    edges = build_edges(triples, nodes, d["pred_dim"]).localCheckpoint()
     art = {**d, "statements": statements, "mentions": mentions,
            "triples": triples, "nodes": nodes, "edges": edges,
            "_session": spark}
@@ -180,11 +180,28 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kg_artifacts(spark, sf_dir)["nodes"]
+    """Nodes with the dynamic property map hashed as a canonical sorted
+    ``k=v;...`` string (maps render engine-specifically; the string form
+    makes the value hash engine-portable)."""
+    nodes = kg_artifacts(spark, sf_dir)["nodes"]
+    props_str = F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries("props"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
+    return nodes.select("qid", "label", "node_type", "lat", "lon",
+                        "canonical_id", props_str.alias("props_str"))
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kg_artifacts(spark, sf_dir)["edges"]
+    """Edges with the multilingual label map projected to one column per
+    language (the fixed {en,fr,pt,es} key set the reference attaches)."""
+    edges = kg_artifacts(spark, sf_dir)["edges"]
+    return edges.select(
+        "src", "pred", "dst",
+        F.element_at("labels", "en").alias("label_en"),
+        F.element_at("labels", "fr").alias("label_fr"),
+        F.element_at("labels", "pt").alias("label_pt"),
+        F.element_at("labels", "es").alias("label_es"))
 
 
 def q_kg_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +251,66 @@ def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the plain GROUP BY count the oracle computes."""
     mentions = kg_artifacts(spark, sf_dir)["mentions"]
     return salted_counts(mentions, "norm_surface", out="n_mentions")
+
+
+def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update/edit mutation semantics (reference edit_story + property
+    rewrite, db/db_connection.py:305-330,174-203) as a key-wise MERGE:
+    a deterministic edit batch (every qid = 0 mod 17 gets its label
+    suffixed) plus two brand-new nodes, applied TWICE through
+    operators/upsert.upsert — the second application must be a no-op
+    (idempotence), and the oracle replays the merge in SQL."""
+    from ..operators.upsert import upsert
+
+    nodes = kg_artifacts(spark, sf_dir)["nodes"]
+    qnum = F.substring("qid", 2, 10).cast("int")
+    edits = (nodes.filter(qnum % 17 == 0)
+             .withColumn("label",
+                         F.concat(F.col("label"), F.lit(" (edited)"))))
+    fresh = spark.createDataFrame(
+        [("Q900001", "new monument", "Knowledge"),
+         ("Q900002", "new plaza", "Knowledge")],
+        ["qid", "label", "node_type"]).select(
+        "qid", "label", "node_type",
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.col("qid").alias("canonical_id"),
+        F.map_from_arrays(F.array().cast("array<string>"),
+                          F.array().cast("array<string>")).alias("props"))
+    updates = edits.unionByName(fresh)
+    merged = upsert(upsert(nodes, updates, ["qid"]), updates, ["qid"])
+    props_str = F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries("props"),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
+    return merged.select("qid", "label", "node_type", "lat", "lon",
+                         "canonical_id", props_str.alias("props_str"))
+
+
+def _sql_node_upsert(p: str) -> str:
+    return _wrap(p, """
+        SELECT m.qid, m.label, m.node_type, m.lat, m.lon, m.canonical_id,
+               coalesce(ps.props_str, '') AS props_str
+        FROM (
+            SELECT * FROM nodes
+            WHERE qid NOT IN (SELECT qid FROM (
+                SELECT qid FROM nodes
+                WHERE CAST(substr(qid, 2) AS INT) % 17 = 0
+                UNION ALL SELECT 'Q900001' UNION ALL SELECT 'Q900002'))
+            UNION ALL
+            SELECT qid, label || ' (edited)' AS label, node_type,
+                   lat, lon, canonical_id
+            FROM nodes WHERE CAST(substr(qid, 2) AS INT) % 17 = 0
+            UNION ALL
+            SELECT 'Q900001', 'new monument', 'Knowledge',
+                   NULL, NULL, 'Q900001'
+            UNION ALL
+            SELECT 'Q900002', 'new plaza', 'Knowledge',
+                   NULL, NULL, 'Q900002') m
+        LEFT JOIN (
+            SELECT qid, string_agg(pred || '=' || obj, ';'
+                ORDER BY pred || '=' || obj) AS props_str
+            FROM props GROUP BY qid) ps ON m.qid = ps.qid""")
 
 
 def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +368,7 @@ def kg_queries() -> dict:
         "kg_turn_order": q_kg_turn_order,
         "kg_pred_counts": q_kg_pred_counts,
         "kg_mention_counts_salted": q_kg_mention_counts_salted,
+        "node_upsert": q_node_upsert,
         "csv_manual_ingest": q_csv_manual_ingest,
     }
 
@@ -305,9 +383,22 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
             p, "SELECT conv_id, turn_idx, subj, pred, obj, obj_type "
                "FROM triples"),
         "kg_nodes": _wrap(
-            p, "SELECT qid, label, node_type, lat, lon, canonical_id "
-               "FROM nodes"),
-        "kg_edges": _wrap(p, "SELECT src, pred, dst FROM edges"),
+            p, """SELECT n.qid, n.label, n.node_type, n.lat, n.lon,
+                         n.canonical_id, coalesce(ps.props_str, '')
+                             AS props_str
+                  FROM nodes n LEFT JOIN (
+                      SELECT qid, string_agg(pred || '=' || obj, ';'
+                          ORDER BY pred || '=' || obj) AS props_str
+                      FROM props GROUP BY qid) ps ON n.qid = ps.qid"""),
+        "kg_edges": _wrap(
+            p, """SELECT e.src, e.pred, e.dst,
+                         e.pred AS label_en,
+                         coalesce(pl.pred_fr, e.pred) AS label_fr,
+                         coalesce(pl.pred_pt, e.pred) AS label_pt,
+                         coalesce(pl.pred_es, e.pred) AS label_es
+                  FROM edges e LEFT JOIN (
+                      SELECT DISTINCT pred, pred_fr, pred_pt, pred_es
+                      FROM pred_dim) pl ON e.pred = pl.pred"""),
         "kg_turn_order": f"""
             SELECT conv_id, turn_idx,
                    row_number() OVER (PARTITION BY conv_id
@@ -333,5 +424,6 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
         "kg_mention_counts_salted": _wrap(
             p, "SELECT norm_surface, count(*) AS n_mentions FROM mentions "
                "GROUP BY norm_surface"),
+        "node_upsert": _sql_node_upsert(p),
         "csv_manual_ingest": _sql_csv_manual(p),
     }

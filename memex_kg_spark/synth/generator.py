@@ -142,17 +142,22 @@ def build_pred_dim() -> pd.DataFrame:
     """Predicate dimension: phrase-in-text -> cleaned predicate label.
 
     Analogue of the reference WPI cache (pid -> cleaned en label + locale
-    fallbacks, ingestion/recursive_hops_ingestion.py:35-60)."""
+    fallbacks, ingestion/recursive_hops_ingestion.py:35-60): predicates
+    with a harvested locale label carry it (P7-cleaned like the en
+    label); the rest fall back to English, per reference :50-51."""
+    from .vocab import PRED_LOCALES
     rows = []
     for pid, phrase, raw in PREDICATES:
         pred = clean_label(raw)
+        loc = PRED_LOCALES.get(pid, {})
         rows.append({
             "pid": pid,
             "phrase": phrase,
             "raw_label": raw,
             "pred": pred,
-            # locale labels fall back to English, per reference :50-51
-            "pred_fr": pred, "pred_pt": pred, "pred_es": pred,
+            "pred_fr": clean_label(loc["fr"]) if "fr" in loc else pred,
+            "pred_pt": clean_label(loc["pt"]) if "pt" in loc else pred,
+            "pred_es": clean_label(loc["es"]) if "es" in loc else pred,
         })
     return pd.DataFrame(rows)
 
@@ -274,9 +279,34 @@ def n_convs_for_sf(sf: float) -> int:
 SYNTH_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".synth")
 
+DIM_VERSION = 2  # bump when alias_dim/pred_dim/manual-CSV CONTENT changes;
+# ensure_dims refreshes the (tiny) dimension files of an existing synth
+# dir in place — transcripts are version-independent and never touched.
+
 
 def synth_dir(sf: float, base_dir: str | None = None) -> str:
     return os.path.join(base_dir or SYNTH_ROOT, f"sf{sf:g}")
+
+
+def ensure_dims(d: str) -> None:
+    """Refresh dimension parquet + manual CSVs inside an existing synth
+    dir when they predate DIM_VERSION (idempotent, atomic per file)."""
+    vpath = os.path.join(d, "_DIM_VERSION")
+    try:
+        with open(vpath) as f:
+            if int(f.read().strip()) >= DIM_VERSION:
+                return
+    except (OSError, ValueError):
+        pass
+    for name, builder in (("alias_dim", build_alias_dim),
+                          ("pred_dim", build_pred_dim)):
+        tmp = os.path.join(d, f"{name}.parquet.tmp")
+        builder().to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+    tmp = vpath + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(DIM_VERSION))
+    os.replace(tmp, vpath)
 
 
 def ensure_synth(sf: float, base_dir: str | None = None) -> str:
@@ -287,6 +317,7 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
     d = synth_dir(sf, base_dir)
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
+        ensure_dims(d)
         return d
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
@@ -297,6 +328,8 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
     build_pred_dim().to_parquet(
         os.path.join(tmp, "pred_dim.parquet"), index=False)
     ensure_manual_csv(tmp)  # CSVs up-front: oracle SQL is self-contained
+    with open(os.path.join(tmp, "_DIM_VERSION"), "w") as f:
+        f.write(str(DIM_VERSION))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(f"seed={SEED} sf={sf} n_convs={n_convs_for_sf(sf)}\n")
     if os.path.exists(d):  # lost a race with a parallel generator — fine
@@ -305,6 +338,7 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
     else:
         os.rename(tmp, d)
     ensure_manual_csv(d)  # pre-existing dirs from older generator versions
+    ensure_dims(d)
     return d
 
 

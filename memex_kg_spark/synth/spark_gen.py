@@ -16,9 +16,11 @@ import os
 from pyspark.sql import SparkSession
 
 from .generator import (
+    DIM_VERSION,
     SYNTH_ROOT,
     build_alias_dim,
     build_pred_dim,
+    ensure_dims,
     gen_conv_batch,
     n_convs_for_sf,
     synth_dir,
@@ -38,6 +40,7 @@ def ensure_synth_spark(spark: SparkSession, sf: float,
     # SQL reads)
     if os.path.exists(marker) or os.path.exists(
             os.path.join(d, "_SUCCESS")):
+        ensure_dims(d)  # refresh stale dimension files in place
         return d
     n = n_convs_for_sf(sf)
     parts = partitions or max(32, spark.sparkContext.defaultParallelism * 2)
@@ -53,6 +56,8 @@ def ensure_synth_spark(spark: SparkSession, sf: float,
                                  index=False)
     build_pred_dim().to_parquet(os.path.join(d, "pred_dim.parquet"),
                                 index=False)
+    with open(os.path.join(d, "_DIM_VERSION"), "w") as f:
+        f.write(str(DIM_VERSION))
     with open(marker, "w") as f:
         f.write(f"sf={sf} n_convs={n} distributed=true\n")
     return d

@@ -63,6 +63,19 @@ PREDICATES = [
     ("P12", "adjoins", "adjoins (3rd ed.)"),  # cleaning: -> adjoins_threerd_ed.
 ]
 
+# locale labels for a subset of predicates (reference harvests property
+# labels in en + {fr, pt, es} and falls back to English when a locale is
+# missing, recursive_hops_ingestion.py:35-60; edges carry the
+# multilingual map, db_connection.py:189-200). ASCII by construction so
+# the P7 cleaning regex is a no-op on them.
+PRED_LOCALES = {
+    "P1": {"fr": "situe dans", "pt": "localizado em", "es": "ubicado en"},
+    "P2": {"fr": "cree par", "pt": "criado por", "es": "creado por"},
+    "P4": {"fr": "represente", "pt": "retrata", "es": "representa"},
+    "P8": {"fr": "surplombe"},  # pt/es fall back to English
+    "P10": {"es": "reemplazo"},  # fr/pt fall back
+}
+
 # claim-property raw labels for alias_dim.props keys (also P7-cleaned)
 CLAIM_PROPS = [
     ("C1", "instance of"),
