@@ -175,40 +175,57 @@ def stage_gen(bench_sf: float, cpus: int) -> None:
     spark.stop()
 
 
-def _calibrate() -> float:
+import threading as _threading
+
+_CAL_LOCK = _threading.Lock()  # probes share _CAL_BUFS; two concurrent
+# sweeps contend for the same bandwidth and inflate each other ~2x,
+# falsely dirtying clean windows — serialize every probe.
+
+
+def _calibrate(skip_if_busy: bool = False) -> float | None:
     """Host-noise probe: time a fixed memory-bandwidth-bound sweep (copy +
     reduce over a 128 MB buffer, 4 threads). The sandbox host shows
     multi-minute phases where the VM's aggregate memory bandwidth drops
     several-fold (noisy neighbor); during those phases Spark wall times
     inflate 3-10x at EVERY core count while a register-only CPU probe
     still reads clean — so the probe must be bandwidth-bound and
-    multi-threaded to see what Spark sees."""
+    multi-threaded to see what Spark sees.
+
+    ``skip_if_busy`` (used by the in-run watcher) returns None instead
+    of queueing when another probe is mid-sweep, so a poll tick never
+    collides with a bracket probe."""
     import numpy as np
     from concurrent.futures import ThreadPoolExecutor
 
-    global _CAL_BUFS, _CAL_WARM
-    first = "_CAL_BUFS" not in globals()
-    if first:  # allocate once: page-fault cost out
-        _CAL_BUFS = [np.ones(4_000_000, dtype=np.float64) for _ in range(4)]
+    if not _CAL_LOCK.acquire(blocking=not skip_if_busy):
+        return None
+    try:
+        global _CAL_BUFS, _CAL_WARM
+        first = "_CAL_BUFS" not in globals()
+        if first:  # allocate once: page-fault cost out
+            _CAL_BUFS = [np.ones(4_000_000, dtype=np.float64)
+                         for _ in range(4)]
 
-    def sweep(b):
-        s = 0.0
-        for _ in range(10):
-            s += float(b.sum())
-            b = b * 1.0000001  # forces a full write pass
-        return s
+        def sweep(b):
+            s = 0.0
+            for _ in range(10):
+                s += float(b.sum())
+                b = b * 1.0000001  # forces a full write pass
+            return s
 
-    if first:
-        # untimed warm sweep: the first sweep in a process pays allocator
-        # mmap/page-fault costs ~10-40x the steady state and would poison
-        # the floor / the first run's ratio
-        with ThreadPoolExecutor(4) as ex:
+        if first:
+            # untimed warm sweep: the first sweep in a process pays
+            # allocator mmap/page-fault costs ~10-40x the steady state
+            # and would poison the floor / the first run's ratio
+            with ThreadPoolExecutor(4) as ex:
+                list(ex.map(sweep, _CAL_BUFS))
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(4) as ex:  # numpy releases the GIL here
             list(ex.map(sweep, _CAL_BUFS))
-
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(4) as ex:  # numpy releases the GIL here
-        list(ex.map(sweep, _CAL_BUFS))
-    return time.perf_counter() - t0
+        return time.perf_counter() - t0
+    finally:
+        _CAL_LOCK.release()
 
 
 def _cal_floor(update: float | None = None) -> float:
@@ -392,7 +409,9 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
 
         def _poll():
             while not _stop.wait(5.0):
-                _samples.append(_calibrate())
+                v = _calibrate(skip_if_busy=True)
+                if v is not None:  # bracket probe mid-sweep: skip tick
+                    _samples.append(v)
 
         _th = threading.Thread(target=_poll, daemon=True)
         _th.start()
@@ -676,7 +695,9 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
 
         def poll():
             while not stop.wait(5.0):
-                samples.append((time.time(), _calibrate()))
+                v = _calibrate(skip_if_busy=True)
+                if v is not None:  # bracket probe mid-sweep: skip tick
+                    samples.append((time.time(), v))
 
         c_pre = _calibrate()
         th = threading.Thread(target=poll, daemon=True)
@@ -1236,10 +1257,11 @@ def efficiency_best_evidence(best_pair: dict, stagewise: dict,
                                      for s, w in clean_sfs}}
     curve = (amdahl or {}).get("model_efficiency_by_sf") or {}
     key = f"sf{bench_sf:g}"
-    if curve:
+    if curve.get(key):  # missing/zero sf entry: fall through to tier 4
         return {"tier": "amdahl_model",
-                "efficiency": curve.get(key) or curve,
-                "corpus_sf": bench_sf}
+                "efficiency": curve[key],
+                "corpus_sf": bench_sf,
+                "model_curve": curve}
     # Last resort: a clean pair measured on a PRIOR code version (the
     # workload hash changed under it, e.g. a measurement-config bump).
     # Honest but weaker — the plan it measured is near-identical, and a
@@ -1259,14 +1281,16 @@ def efficiency_best_evidence(best_pair: dict, stagewise: dict,
 
 def _prior_hash_clean_pair() -> dict | None:
     """The stored best_pair.json if it is clean but stamped with a
-    different (older) workload hash than the current code."""
+    different (older) workload hash than the current code. Cleanliness
+    uses the SAME in-run-primary rule as live pairs (_pair_clean):
+    bracket cal alone cannot certify a multi-minute run, and a
+    pre-watcher pair without in-run readings is dirty by definition."""
     try:
         with open(os.path.join(REPO, "BENCH", "best_pair.json")) as f:
             p = json.load(f)
     except (OSError, ValueError):
         return None
-    worst = max(p.get("cal_lo_best", 99), p.get("cal_hi_best", 99))
-    if p.get("workload_hash") != workload_hash() and worst <= CAL_CLEAN_MAX:
+    if p.get("workload_hash") != workload_hash() and _pair_clean(p):
         return p
     return None
 

@@ -9,7 +9,9 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SYNTH="${1:-$REPO/.synth/sf3}"
 TOTAL="${2:-14400}"
-shift 2 2>/dev/null || true
+# shift only what was actually passed: `shift 2` with one arg fails and
+# leaves $1 in $@, which then leaks into LEVELS as a bogus core count
+shift $(( $# < 2 ? $# : 2 ))
 LEVELS=("${@:-}")
 [ -z "${LEVELS[0]:-}" ] && LEVELS=(8 2 32)
 T0=$(date +%s)

@@ -5,6 +5,16 @@
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${MASTER:-local[8]}"
+# match the configuration the published bench numbers were measured
+# under: max(32, 2*cores) shuffle partitions (bench.py make_spark)
+if [ -z "${SHUFFLE_PARTITIONS:-}" ]; then
+  CORES="$(echo "$MASTER" | sed -n 's/^local\[\([0-9]*\)\]$/\1/p')"
+  if [ -n "$CORES" ] && [ $(( CORES * 2 )) -gt 32 ]; then
+    SHUFFLE_PARTITIONS=$(( CORES * 2 ))
+  else
+    SHUFFLE_PARTITIONS=32
+  fi
+fi
 SYNTH="${1:?usage: spark_submit.sh SYNTH_DIR OUT_DIR [N_BUCKETS]}"
 OUT="${2:?usage: spark_submit.sh SYNTH_DIR OUT_DIR [N_BUCKETS]}"
 BUCKETS="${3:-8}"
@@ -23,4 +33,4 @@ exec spark-submit --master "$MASTER" \
     --py-files "$ZIP" \
     "$REPO/scripts/submit_pipeline.py" \
     --synth "$SYNTH" --out "$OUT" --n-buckets "$BUCKETS" \
-    --shuffle-partitions "${SHUFFLE_PARTITIONS:-16}"
+    --shuffle-partitions "$SHUFFLE_PARTITIONS"

@@ -131,7 +131,9 @@ def test_prior_hash_clean_pair_fallback(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "workload_hash", lambda: "new_hash")
     os.makedirs(tmp_path / "BENCH", exist_ok=True)
     prior = {"workload_hash": "old_hash", "efficiency": 0.55,
-             "corpus_sf": 3.0, "cal_lo_best": 1.3, "cal_hi_best": 1.2}
+             "corpus_sf": 3.0, "cal_lo_best": 1.3, "cal_hi_best": 1.2,
+             "cores_lo": 2, "cores_hi": 8,
+             "cal_inrun_lo": 1.8, "cal_inrun_hi": 2.1}
     (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
     # no current-hash evidence at all -> prior-code pair is reported,
     # explicitly labeled
@@ -139,6 +141,15 @@ def test_prior_hash_clean_pair_fallback(tmp_path, monkeypatch):
     assert ev["tier"] == "prior_code_clean_pair"
     assert ev["efficiency"] == 0.55
     assert ev["workload_hash"] == "old_hash"
+    # a prior pair WITHOUT in-run readings (pre-watcher) is dirty by
+    # definition — brackets alone cannot certify a multi-minute run
+    pre_watcher = {k: v for k, v in prior.items()
+                   if not k.startswith("cal_inrun")}
+    (tmp_path / "BENCH" / "best_pair.json").write_text(
+        json.dumps(pre_watcher))
+    ev = bench.efficiency_best_evidence({"cal_lo_best": 99}, {}, {}, 3.0)
+    assert ev["tier"] == "none"
+    (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
     # a dirty prior pair is never reported
     prior["cal_hi_best"] = 9.0
     (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(prior))
