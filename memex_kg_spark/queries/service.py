@@ -393,6 +393,9 @@ def q_stream_conv_counts(spark, sf_dir):
     stream_in = f"{p}/stream_in"
     if not os.path.exists(f"{stream_in}/_SPLIT_DONE"):
         tr = spark.read.parquet(f"{p}/transcripts.parquet")
+        # coalesce(1) is fixture-only: exactly one file per write so
+        # maxFilesPerTrigger=1 yields exactly 3 micro-batches. Production
+        # streams read a real source (Kafka/files) — never this seed.
         for i in range(3):
             (tr.filter(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(3)) == i)
              .coalesce(1).write.mode("append").parquet(stream_in))
