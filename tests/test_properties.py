@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the algebraic cores.
+
+The reference validates these semantics with hand-picked fixtures only;
+property testing pins the *laws* the operators must satisfy at any
+input, which is what actually matters at 100 TB where no fixture is
+representative:
+
+- P7 label cleaning (reference ingestion/recursive_hops_ingestion.py:53-55):
+  closed alphabet, deterministic, and idempotent exactly when the output
+  contains no underscore (the space→`_` rewrite emits a character the
+  strip pass removes — a genuine reference quirk we preserve for parity,
+  pinned here rather than "fixed").
+- Connected components (reference grouping logic; SURVEY §2 G2): the
+  driver union-find and the distributed hash-min loop must agree with a
+  brute-force BFS on arbitrary graphs, and the representative must be
+  the component minimum (id stability across resumes depends on it).
+- Upsert/MERGE (reference edit_story, db/db_connection.py:305-330):
+  idempotent, last-writer-wins, and batch-composable — applying U1 then
+  U2 equals applying the key-wise "U2 overrides U1" union once.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from memex_kg_spark.synth.vocab import clean_label
+
+# Keep Spark-backed properties cheap: tiny createDataFrame round-trips,
+# few examples, no deadline (JVM warm-up would trip it).
+_SPARK_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_ids = st.integers(min_value=0, max_value=24).map(lambda i: f"Q{i}")
+_edges = st.lists(st.tuples(_ids, _ids), min_size=0, max_size=40)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_clean_label_closed_alphabet_and_conditional_idempotence(raw):
+    once = clean_label(raw)
+    assert all(c.isalnum() or c in "_\n." for c in once)
+    assert all(not c.isalpha() or c.isascii() for c in once)
+    assert "3" not in once  # digit rule: 3 -> three, applied after strip
+    # Reference quirk (parity-pinned): `_` produced by the space rewrite
+    # is outside the strip pass's kept alphabet, so re-cleaning drops it.
+    if "_" in once:
+        assert clean_label(once) == once.replace("_", "")
+    else:
+        assert clean_label(once) == once
+
+
+def _brute_components(pairs):
+    """Ground truth: BFS components over the undirected edge list,
+    labeled by the lexicographic minimum member."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = set(), {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        rep = min(comp)
+        for x in comp:
+            out[x] = rep
+    return out
+
+
+@given(_edges)
+@_SPARK_SETTINGS
+def test_union_find_matches_bfs(spark, pairs):
+    from memex_kg_spark.operators.components import _union_find
+
+    got = {r["id"]: r["component"]
+           for r in _union_find(pairs, spark).collect()}
+    assert got == _brute_components(pairs)
+
+
+@given(_edges.map(lambda ps: [(a, b) for a, b in ps if a != b])
+       .filter(lambda ps: len(ps) > 0))
+@_SPARK_SETTINGS
+def test_distributed_cc_matches_bfs(spark, pairs):
+    """Self-loop-free inputs: the hash-min loop's symmetrize step drops
+    a==b pairs (a pure-self-loop node carries no grouping information in
+    the reference's alias graph), while the driver path keeps them as
+    singletons — both agree on every edge that can merge anything."""
+    from memex_kg_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    # force the distributed hash-min path regardless of edge count
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges, force_distributed=True)
+           .collect()}
+    assert got == _brute_components(pairs)
+
+
+_kv = st.dictionaries(
+    st.integers(min_value=0, max_value=9).map(lambda i: f"k{i}"),
+    st.integers(min_value=0, max_value=99), min_size=0, max_size=8)
+
+
+@given(_kv, _kv, _kv)
+@_SPARK_SETTINGS
+def test_upsert_laws(spark, base, u1, u2):
+    from memex_kg_spark.operators.upsert import upsert
+
+    def df(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()], "key string, val int")
+
+    def rows(dframe):
+        return {(r["key"], r["val"]) for r in dframe.collect()}
+
+    b, once = df(base), rows(upsert(df(base), df(u1), ["key"]))
+    # idempotent: same batch twice == once
+    twice = rows(upsert(upsert(b, df(u1), ["key"]), df(u1), ["key"]))
+    assert twice == once
+    # last-writer-wins per key, new keys appended
+    expect = dict(base)
+    expect.update(u1)
+    assert once == set(expect.items())
+    # composable: (base <- u1) <- u2 == base <- (u1 overridden by u2)
+    seq = rows(upsert(upsert(b, df(u1), ["key"]), df(u2), ["key"]))
+    merged = dict(u1)
+    merged.update(u2)
+    assert seq == rows(upsert(b, df(merged), ["key"]))
