@@ -313,6 +313,41 @@ def _sql_node_upsert(p: str) -> str:
             FROM props GROUP BY qid) ps ON m.qid = ps.qid""")
 
 
+def q_kg_resume_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-resume convergence as a value-checked driver row (S6/A4;
+    reference file-cache resume: ingestion/mapillary_ingestion_places.py:
+    104-143, Neo4j-constraint idempotent insert: db/db_connection.py:
+    48-56). Runs the bucketed resumable writer over the corpus, crashes
+    it after 2 committed buckets (lineage rows are the commit points),
+    resumes with a fresh writer, and returns the warehouse's final
+    triples — which must hash-equal the uninterrupted single-pass
+    pipeline (same oracle SQL as ``kg_triples``). The warehouse is a
+    throwaway temp dir; ``localCheckpoint`` materializes the result
+    before it is removed."""
+    import shutil
+    import tempfile
+
+    from ..io.tables import ResumableKGWriter
+
+    p = synth_for(sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_resume_wh_")
+    try:
+        w = ResumableKGWriter(spark, p, root, n_buckets=4, run_id="crashy")
+        try:
+            w.run(fail_after=2)
+        except RuntimeError:
+            pass  # the simulated mid-run crash
+        w2 = ResumableKGWriter(spark, p, root, n_buckets=4, run_id="resume")
+        stats = w2.run()
+        assert stats["skipped"] == 2, stats  # resume must skip committed
+        return (w2.triples()
+                .select("conv_id", "turn_idx", "subj", "pred", "obj",
+                        "obj_type")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/J8/A2/W2: CSV (Google-Form) source -> Manual rows with
     monotonically assigned mid continuing from MAX(mid) of the
@@ -369,6 +404,7 @@ def kg_queries() -> dict:
         "kg_pred_counts": q_kg_pred_counts,
         "kg_mention_counts_salted": q_kg_mention_counts_salted,
         "node_upsert": q_node_upsert,
+        "kg_resume_triples": q_kg_resume_triples,
         "csv_manual_ingest": q_csv_manual_ingest,
     }
 
@@ -425,5 +461,10 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
             p, "SELECT norm_surface, count(*) AS n_mentions FROM mentions "
                "GROUP BY norm_surface"),
         "node_upsert": _sql_node_upsert(p),
+        # crash+resume must converge to the uninterrupted pipeline's
+        # exact triple set — the oracle IS the kg_triples oracle
+        "kg_resume_triples": _wrap(
+            p, "SELECT conv_id, turn_idx, subj, pred, obj, obj_type "
+               "FROM triples"),
         "csv_manual_ingest": _sql_csv_manual(p),
     }
