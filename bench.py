@@ -1071,7 +1071,51 @@ def main() -> None:
         },
     }
     _write_bench_md(line)
-    print(json.dumps(line))
+    # Full diagnostics on their own (NOT final) line, for humans and the
+    # archives; BENCH/BASELINE.md carries the same content formatted.
+    print("BENCH_FULL_JSON=" + json.dumps(line), flush=True)
+    # The driver captures only the last ~2000 bytes of stdout and
+    # json.loads the FINAL line (BENCH_r02.json recorded parsed=null
+    # because the r2 final line outgrew that buffer). Emit a compact
+    # final line: the contract fields plus scalar evidence, hard-capped
+    # with the optional evidence blocks degrading first.
+    compact = {
+        "metric": "kg_pipeline_wall",
+        "value": line["value"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_corpus_sf": bench_sf,
+        "n_triples": n_triples,
+        "cpus": cpus,
+        "triples_per_sec": tput[cpus],
+        "efficiency_best_evidence": line["efficiency_best_evidence"],
+        "headline_best_known": {
+            k: headline_best.get(k)
+            for k in ("wall_sec", "cal", "triples_per_sec", "corpus_sf",
+                      "workload_hash")} if isinstance(headline_best, dict)
+        else headline_best,
+        "scaling": {
+            k: best_pair.get(k)
+            for k in ("measured_at", "corpus_sf", "cores_lo", "cores_hi",
+                      "wall_lo_sec", "wall_hi_sec", "cal_inrun_lo",
+                      "cal_inrun_hi", "efficiency", "workload_hash")}
+        if isinstance(best_pair, dict) else best_pair,
+        "scaling_this_run": {
+            k: pair_now.get(k)
+            for k in ("corpus_sf", "wall_lo_sec", "wall_hi_sec",
+                      "cal_lo_best", "cal_hi_best", "cal_inrun_lo",
+                      "cal_inrun_hi", "efficiency",
+                      "stagemin_efficiency")},
+    }
+    js = json.dumps(compact)
+    for drop in ("scaling_this_run", "headline_best_known",
+                 "efficiency_best_evidence", "scaling"):
+        if len(js) <= 1800:
+            break
+        compact.pop(drop, None)
+        js = json.dumps(compact)
+    print(js)
 
 
 _WORKLOAD_FILES = [
@@ -1204,11 +1248,19 @@ def _merge_best_pair(pair_now: dict) -> dict:
         return (worst_cal(p), p.get("wall_hi_sec", 1e9))
 
     best = pair_now
-    if (stored is not None
-            and stored.get("corpus_sf") == pair_now.get("corpus_sf")
-            and stored.get("cores_lo") == pair_now.get("cores_lo")
-            and quality(stored) < quality(pair_now)):
-        best = stored
+    if stored is not None:
+        s_sf = stored.get("corpus_sf") or 0
+        n_sf = pair_now.get("corpus_sf") or 0
+        if s_sf > n_sf and _pair_clean(stored):
+            # Scaling evidence at a larger corpus strictly dominates: a
+            # smaller corpus is more overhead-dominated (see amdahl_fit),
+            # so a clean small-sf pair (e.g. a tiny smoke run) must never
+            # displace a clean big-sf one.
+            best = stored
+        elif (s_sf == n_sf
+                and stored.get("cores_lo") == pair_now.get("cores_lo")
+                and quality(stored) < quality(pair_now)):
+            best = stored
     if _pair_clean(best):
         with open(path, "w") as f:
             json.dump(best, f, indent=1)
@@ -1232,8 +1284,6 @@ def _merge_best_headline(now: dict) -> dict:
     except (OSError, ValueError):
         pass
     if stored is not None and (stored.get("workload_hash") != wh
-                               or stored.get("corpus_sf")
-                               != now.get("corpus_sf")
                                or stored.get("cpus") != now.get("cpus")):
         stored = None
 
@@ -1241,8 +1291,16 @@ def _merge_best_headline(now: dict) -> dict:
         return (p.get("cal", 99), p.get("wall_sec", 1e9))
 
     best = now
-    if stored is not None and quality(stored) < quality(now):
-        best = stored
+    if stored is not None:
+        s_sf = stored.get("corpus_sf") or 0
+        n_sf = now.get("corpus_sf") or 0
+        if s_sf > n_sf and stored.get("cal", 99) <= CAL_CLEAN_MAX:
+            # never let a clean small-corpus smoke run displace the
+            # banked clean headline at a larger corpus (same rationale
+            # as _merge_best_pair)
+            best = stored
+        elif s_sf == n_sf and quality(stored) < quality(now):
+            best = stored
     if best.get("cal", 99) <= CAL_CLEAN_MAX:
         with open(path, "w") as f:
             json.dump(best, f, indent=1)

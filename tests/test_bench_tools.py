@@ -191,3 +191,53 @@ def test_merge_best_fullrun_gates_pair_on_inrun(tmp_path, monkeypatch):
     pair = json.loads((tmp_path / "BENCH" / "best_pair.json").read_text())
     assert pair["wall_lo_sec"] == 65.0 and pair["wall_hi_sec"] == 18.0
     assert abs(pair["efficiency"] - (65.0 / 18.0) / 4) < 1e-3
+
+
+def test_merge_best_pair_small_corpus_never_displaces_big(tmp_path,
+                                                          monkeypatch):
+    import json
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "workload_hash", lambda: "wh")
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    big = {"workload_hash": "wh", "corpus_sf": 3.0, "cores_lo": 2,
+           "cores_hi": 8, "wall_lo_sec": 64.0, "wall_hi_sec": 16.0,
+           "cal_lo_best": 1.2, "cal_hi_best": 1.2,
+           "cal_inrun_lo": 1.3, "cal_inrun_hi": 1.4, "efficiency": 1.0}
+    (tmp_path / "BENCH" / "best_pair.json").write_text(json.dumps(big))
+    # a CLEAN pair at a smaller corpus (overhead-dominated smoke run)
+    # must neither be stored nor returned over the big-corpus pair
+    tiny = {**big, "corpus_sf": 0.001, "wall_lo_sec": 5.0,
+            "wall_hi_sec": 3.0, "cal_lo_best": 1.05, "cal_hi_best": 1.05,
+            "cal_inrun_lo": 1.1, "cal_inrun_hi": 1.1, "efficiency": 0.42}
+    best = bench._merge_best_pair(tiny)
+    stored = json.loads(
+        (tmp_path / "BENCH" / "best_pair.json").read_text())
+    assert best["corpus_sf"] == 3.0 and stored["corpus_sf"] == 3.0
+    # a clean pair at a LARGER corpus does replace
+    bigger = {**big, "corpus_sf": 6.0, "wall_lo_sec": 130.0,
+              "wall_hi_sec": 33.0, "efficiency": 0.98}
+    best = bench._merge_best_pair(bigger)
+    stored = json.loads(
+        (tmp_path / "BENCH" / "best_pair.json").read_text())
+    assert best["corpus_sf"] == 6.0 and stored["corpus_sf"] == 6.0
+    # same corpus: cleanliness-then-speed quality ordering still applies
+    same_worse = {**bigger, "wall_hi_sec": 40.0, "cal_hi_best": 1.9}
+    best = bench._merge_best_pair(same_worse)
+    assert best["wall_hi_sec"] == 33.0
+
+
+def test_merge_best_headline_small_corpus_never_displaces_big(
+        tmp_path, monkeypatch):
+    import json
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "workload_hash", lambda: "wh")
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    big = {"workload_hash": "wh", "corpus_sf": 3.0, "cpus": 32,
+           "wall_sec": 18.8, "cal": 1.28, "triples_per_sec": 477000.0}
+    (tmp_path / "BENCH" / "best_headline.json").write_text(json.dumps(big))
+    tiny = {**big, "corpus_sf": 0.001, "wall_sec": 2.0, "cal": 1.01,
+            "triples_per_sec": 999.0}
+    best = bench._merge_best_headline(tiny)
+    stored = json.loads(
+        (tmp_path / "BENCH" / "best_headline.json").read_text())
+    assert best["corpus_sf"] == 3.0 and stored["corpus_sf"] == 3.0
