@@ -54,9 +54,10 @@ def all_queries() -> dict:
     keys = [k for k in out if k not in front]
     for i, k in enumerate(front):
         keys.insert(min(9 + i, len(keys)), k)
-    assert len(keys) <= DRIVER_ROW_BUDGET, (
-        f"registry has {len(keys)} keys > driver budget "
-        f"{DRIVER_ROW_BUDGET}; consolidate before registering more")
+    if len(keys) > DRIVER_ROW_BUDGET:  # not assert: must survive -O
+        raise ValueError(
+            f"registry has {len(keys)} keys > driver budget "
+            f"{DRIVER_ROW_BUDGET}; consolidate before registering more")
     return {k: out[k] for k in keys}
 
 

@@ -303,6 +303,7 @@ def ensure_dims(d: str) -> None:
         tmp = os.path.join(d, f"{name}.parquet.tmp")
         builder().to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+    ensure_manual_csv(d, force=True)  # DIM_VERSION covers CSV content too
     tmp = vpath + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(DIM_VERSION))
@@ -342,18 +343,20 @@ def ensure_synth(sf: float, base_dir: str | None = None) -> str:
     return d
 
 
-def ensure_manual_csv(synth_path: str) -> str:
+def ensure_manual_csv(synth_path: str, force: bool = False) -> str:
     """Deterministic Google-Form-style manual CSV (reference S7,
     ingestion/csv_reader.py:29-38): title,description,author,category
     rows whose categories are entity labels, so the J8 label equi-join
     (ingestion/csv_reader.py:89-96) hits real KG nodes. Idempotent;
     written next to the synth parquet so DuckDB oracles can read the
-    identical bytes by absolute path."""
+    identical bytes by absolute path. ``force`` rewrites existing files
+    (ensure_dims passes it so a DIM_VERSION bump refreshes CSV content
+    in pre-existing synth dirs, not just the dimension parquet)."""
     import csv
 
     path = os.path.join(synth_path, "manual.csv")
     prev = os.path.join(synth_path, "manual_prev.csv")
-    if os.path.exists(path) and os.path.exists(prev):
+    if not force and os.path.exists(path) and os.path.exists(prev):
         return path
     from .vocab import entity_name
 

@@ -9,6 +9,9 @@ MASTER="${MASTER:-local[8]}"
 # under: max(32, 2*cores) shuffle partitions (bench.py make_spark)
 if [ -z "${SHUFFLE_PARTITIONS:-}" ]; then
   CORES="$(echo "$MASTER" | sed -n 's/^local\[\([0-9]*\)\]$/\1/p')"
+  if [ "$MASTER" = 'local[*]' ]; then
+    CORES="$(nproc 2>/dev/null || echo '')"  # local[*] = all host cores
+  fi
   if [ -n "$CORES" ] && [ $(( CORES * 2 )) -gt 32 ]; then
     SHUFFLE_PARTITIONS=$(( CORES * 2 ))
   else

@@ -66,10 +66,15 @@ def test_topk_plans_take_ordered(spark, testdata_sf001):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject — the
     inconsistently-pushed-down LIMIT of the reference (db/db_search.py:237
     sorts everything, slices in Python) is the perf bug we must not have."""
-    from memex_kg_spark.queries.relational import topk_global_plan_probe
+    from memex_kg_spark.queries.relational import (q_topk_per_group,
+                                                   topk_global_plan_probe)
 
     df = topk_global_plan_probe(spark, testdata_sf001)
     assert "TakeOrderedAndProject" in _plan(df)
+    # the REGISTERED query must keep the top-k path on its global half
+    # too (the probe alone can't guard a refactor of q_topk_per_group)
+    assert "TakeOrderedAndProject" in _plan(
+        q_topk_per_group(spark, testdata_sf001))
 
 
 def test_parquet_filter_pushdown_and_pruning(spark, testdata_sf001):

@@ -137,9 +137,12 @@ def test_rerun_after_edit_converges(spark, sf_dir_smoke, tmp_path):
                           n_buckets=2, run_id="edit-run")
     w.run()
     nodes, _ = w.finalize_graph()
-    edits = (nodes.limit(3)
+    # deterministic pick: limit() without orderBy may select different
+    # rows on each re-evaluation of the (uncached) plan
+    edits = (nodes.orderBy("qid").limit(3)
              .withColumn("label", F.concat(F.col("label"),
-                                           F.lit(" (edited)"))))
+                                           F.lit(" (edited)")))
+             .localCheckpoint())
     v1 = upsert(nodes, edits, ["qid"])
     v2 = upsert(v1, edits, ["qid"])
     rows1 = {r["qid"]: r["label"] for r in v1.collect()}
