@@ -40,3 +40,26 @@ def upsert(base: DataFrame, updates: DataFrame,
         key_side = F.broadcast(key_side)
     kept = base.join(key_side, keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def detach_delete(nodes: DataFrame, edges: DataFrame, victims: DataFrame,
+                  key: str = "qid", src: str = "src", dst: str = "dst"
+                  ) -> tuple[DataFrame, DataFrame]:
+    """DETACH DELETE — the reference's delete path (``delete_story``,
+    db/db_connection.py:348-361: ``MATCH (p:Story {sid}) DETACH DELETE
+    p`` removes the node AND every relationship touching it; the clear-
+    database path at :82 is the same verb unfiltered). Set-oriented
+    form: anti-join the victims out of the node table, and out of BOTH
+    endpoint columns of the edge table. The victim set is an edit-sized
+    batch, so all three anti-joins broadcast — no fact-side shuffle at
+    warehouse scale; with partitioned/bucketed storage the rewrite is
+    the Iceberg MERGE/DELETE copy-on-write pattern confined to
+    partitions holding victim keys."""
+    v = victims.select(F.col(key))
+    nodes2 = nodes.join(F.broadcast(v), [key], "left_anti")
+    edges2 = (edges
+              .join(F.broadcast(v.withColumnRenamed(key, src)),
+                    [src], "left_anti")
+              .join(F.broadcast(v.withColumnRenamed(key, dst)),
+                    [dst], "left_anti"))
+    return nodes2, edges2

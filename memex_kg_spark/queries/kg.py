@@ -254,13 +254,18 @@ def q_kg_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Update/edit mutation semantics (reference edit_story + property
-    rewrite, db/db_connection.py:305-330,174-203) as a key-wise MERGE:
-    a deterministic edit batch (every qid = 0 mod 17 gets its label
-    suffixed) plus two brand-new nodes, applied TWICE through
-    operators/upsert.upsert — the second application must be a no-op
-    (idempotence), and the oracle replays the merge in SQL."""
-    from ..operators.upsert import upsert
+    """Full CRUD mutation semantics in one row. Parts: (a) update/edit
+    (reference edit_story + property rewrite, db/db_connection.py:
+    305-330,174-203) as a key-wise MERGE — a deterministic edit batch
+    (every qid = 0 mod 17 gets its label suffixed) plus two brand-new
+    nodes, applied TWICE through operators/upsert.upsert so the second
+    application must be a no-op (idempotence); (b) DETACH DELETE
+    (reference delete_story, db/db_connection.py:348-361) — every qid
+    = 5 mod 23 is removed along with its incident edges, and each
+    surviving node carries ``deg``, its endpoint count over the
+    SURVIVING edge set, so the oracle value-checks the edge detachment
+    too, not just the node removal."""
+    from ..operators.upsert import detach_delete, upsert
 
     nodes = kg_artifacts(spark, sf_dir)["nodes"]
     qnum = F.substring("qid", 2, 10).cast("int")
@@ -279,19 +284,29 @@ def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.array().cast("array<string>")).alias("props"))
     updates = edits.unionByName(fresh)
     merged = upsert(upsert(nodes, updates, ["qid"]), updates, ["qid"])
+    victims = merged.filter(qnum % 23 == 5).select("qid")
+    edges = kg_artifacts(spark, sf_dir)["edges"].select("src", "dst")
+    kept, surv_edges = detach_delete(merged, edges, victims)
+    deg = (surv_edges.select(F.col("src").alias("qid"))
+           .unionAll(surv_edges.select(F.col("dst").alias("qid")))
+           .groupBy("qid").agg(F.count("*").alias("deg")))
     props_str = F.array_join(
         F.array_sort(F.transform(
             F.map_entries("props"),
             lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
-    return merged.select("qid", "label", "node_type", "lat", "lon",
-                         "canonical_id", props_str.alias("props_str"))
+    return (kept.withColumn("props_str", props_str)
+            .join(deg, "qid", "left")
+            .select("qid", "label", "node_type", "lat", "lon",
+                    "canonical_id", "props_str",
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("long")
+                    .alias("deg")))
 
 
 def _sql_node_upsert(p: str) -> str:
+    # body starts with "," so it EXTENDS _cte's CTE list before the
+    # final SELECT (merged = MERGE replay, victims/deg = DETACH DELETE)
     return _wrap(p, """
-        SELECT m.qid, m.label, m.node_type, m.lat, m.lon, m.canonical_id,
-               coalesce(ps.props_str, '') AS props_str
-        FROM (
+        , merged AS (
             SELECT * FROM nodes
             WHERE qid NOT IN (SELECT qid FROM (
                 SELECT qid FROM nodes
@@ -306,11 +321,29 @@ def _sql_node_upsert(p: str) -> str:
                    NULL, NULL, 'Q900001'
             UNION ALL
             SELECT 'Q900002', 'new plaza', 'Knowledge',
-                   NULL, NULL, 'Q900002') m
+                   NULL, NULL, 'Q900002'),
+        victims AS (
+            SELECT qid FROM merged
+            WHERE CAST(substr(qid, 2) AS INT) % 23 = 5),
+        surv_edges AS (
+            SELECT src, dst FROM edges
+            WHERE src NOT IN (SELECT qid FROM victims)
+              AND dst NOT IN (SELECT qid FROM victims)),
+        deg AS (
+            SELECT qid, count(*) AS deg FROM (
+                SELECT src AS qid FROM surv_edges
+                UNION ALL SELECT dst AS qid FROM surv_edges)
+            GROUP BY qid)
+        SELECT m.qid, m.label, m.node_type, m.lat, m.lon, m.canonical_id,
+               coalesce(ps.props_str, '') AS props_str,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+        FROM merged m
         LEFT JOIN (
             SELECT qid, string_agg(pred || '=' || obj, ';'
                 ORDER BY pred || '=' || obj) AS props_str
-            FROM props GROUP BY qid) ps ON m.qid = ps.qid""")
+            FROM props GROUP BY qid) ps ON m.qid = ps.qid
+        LEFT JOIN deg d ON m.qid = d.qid
+        WHERE m.qid NOT IN (SELECT qid FROM victims)""")
 
 
 def q_kg_resume_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

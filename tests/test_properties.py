@@ -134,3 +134,35 @@ def test_upsert_laws(spark, base, u1, u2):
     merged = dict(u1)
     merged.update(u2)
     assert seq == rows(upsert(b, df(merged), ["key"]))
+
+
+@given(_edges, st.lists(_ids, max_size=6))
+@_SPARK_SETTINGS
+def test_detach_delete_laws(spark, pairs, victim_ids):
+    """DETACH DELETE (reference delete_story, db/db_connection.py:
+    348-361): victims vanish from the node set and from BOTH edge
+    endpoints; edges not touching a victim are untouched; deleting an
+    empty set is the identity; deleting twice equals once."""
+    from memex_kg_spark.operators.upsert import detach_delete
+
+    ids = sorted({a for a, b in pairs} | {b for _, b in pairs} | {"Q0"})
+    nodes = spark.createDataFrame([(i,) for i in ids], ["qid"])
+    edges = (spark.createDataFrame(pairs + [("Q0", "Q0")], ["src", "dst"])
+             if pairs else spark.createDataFrame([("Q0", "Q0")],
+                                                 ["src", "dst"]))
+    victims = (spark.createDataFrame([(v,) for v in set(victim_ids)],
+                                     ["qid"])
+               if victim_ids else
+               spark.createDataFrame([], "qid string"))
+    n2, e2 = detach_delete(nodes, edges, victims)
+    vset = set(victim_ids)
+    got_nodes = {r["qid"] for r in n2.collect()}
+    got_edges = {(r["src"], r["dst"]) for r in e2.collect()}
+    assert got_nodes == {i for i in ids if i not in vset}
+    all_edges = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got_edges == {(s, d) for s, d in all_edges
+                         if s not in vset and d not in vset}
+    # idempotent
+    n3, e3 = detach_delete(n2, e2, victims)
+    assert {r["qid"] for r in n3.collect()} == got_nodes
+    assert {(r["src"], r["dst"]) for r in e3.collect()} == got_edges
