@@ -1074,22 +1074,30 @@ def main() -> None:
     # Full diagnostics on their own (NOT final) line, for humans and the
     # archives; BENCH/BASELINE.md carries the same content formatted.
     print("BENCH_FULL_JSON=" + json.dumps(line), flush=True)
-    # The driver captures only the last ~2000 bytes of stdout and
-    # json.loads the FINAL line (BENCH_r02.json recorded parsed=null
-    # because the r2 final line outgrew that buffer). Emit a compact
-    # final line: the contract fields plus scalar evidence, hard-capped
-    # with the optional evidence blocks degrading first.
+    print(compact_bench_line(line))
+
+
+def compact_bench_line(line: dict, cap: int = 1800) -> str:
+    """The driver captures only the last ~2000 bytes of stdout and
+    json.loads the FINAL line (BENCH_r02.json recorded parsed=null
+    because the r2 final line outgrew that buffer). Build a compact
+    final line from the full report: the contract fields plus scalar
+    evidence, hard-capped with the optional evidence blocks degrading
+    first and the per-query map truncating as the last resort."""
+    headline_best = line.get("headline_best_known")
+    best_pair = line.get("scaling")
+    pair_now = line.get("scaling_this_run") or {}
     compact = {
-        "metric": "kg_pipeline_wall",
+        "metric": line["metric"],
         "value": line["value"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "bench_corpus_sf": bench_sf,
-        "n_triples": n_triples,
-        "cpus": cpus,
-        "triples_per_sec": tput[cpus],
-        "efficiency_best_evidence": line["efficiency_best_evidence"],
+        "unit": line["unit"],
+        "queries": dict(line.get("queries") or {}),
+        "sf": line.get("sf"),
+        "bench_corpus_sf": line.get("bench_corpus_sf"),
+        "n_triples": line.get("n_triples"),
+        "cpus": line.get("cpus"),
+        "triples_per_sec": line.get("triples_per_sec"),
+        "efficiency_best_evidence": line.get("efficiency_best_evidence"),
         "headline_best_known": {
             k: headline_best.get(k)
             for k in ("wall_sec", "cal", "triples_per_sec", "corpus_sf",
@@ -1111,11 +1119,14 @@ def main() -> None:
     js = json.dumps(compact)
     for drop in ("scaling_this_run", "headline_best_known",
                  "efficiency_best_evidence", "scaling"):
-        if len(js) <= 1800:
-            break
+        if len(js) <= cap:
+            return js
         compact.pop(drop, None)
         js = json.dumps(compact)
-    print(js)
+    while len(js) > cap and compact["queries"]:
+        compact["queries"].pop(next(iter(compact["queries"])))
+        js = json.dumps(compact)
+    return js
 
 
 _WORKLOAD_FILES = [

@@ -241,3 +241,43 @@ def test_merge_best_headline_small_corpus_never_displaces_big(
     stored = json.loads(
         (tmp_path / "BENCH" / "best_headline.json").read_text())
     assert best["corpus_sf"] == 3.0 and stored["corpus_sf"] == 3.0
+
+
+def test_compact_bench_line_fits_driver_buffer():
+    import json
+    # realistic full report, padded with oversized diagnostics
+    big = {"metric": "kg_pipeline_wall", "value": 24.6, "unit": "sec",
+           "queries": {f"q{i}": 1.0 + i for i in range(12)},
+           "sf": 0.1, "bench_corpus_sf": 3.0, "n_triples": 8992326,
+           "cpus": 32, "triples_per_sec": 365408.0,
+           "efficiency_best_evidence": {"tier": "direct_clean_pair",
+                                        "efficiency": 0.997},
+           "headline_best_known": {"wall_sec": 18.85, "cal": 1.28,
+                                   "triples_per_sec": 477046.5,
+                                   "corpus_sf": 3.0,
+                                   "workload_hash": "x" * 12,
+                                   "stage_mins": {"a": 1.0} },
+           "scaling": {"measured_at": "t", "corpus_sf": 3.0,
+                       "cores_lo": 2, "cores_hi": 8,
+                       "wall_lo_sec": 64.1, "wall_hi_sec": 16.1,
+                       "cal_inrun_lo": 1.3, "cal_inrun_hi": 1.45,
+                       "efficiency": 0.997, "workload_hash": "x" * 12,
+                       "stage_mins_lo": {"a": 1.0}},
+           "scaling_this_run": {"corpus_sf": 3.0, "wall_lo_sec": 91.6,
+                                "wall_hi_sec": 83.4, "efficiency": 0.275,
+                                "runs_lo": list(range(50)),
+                                "cal_lo": list(range(50))},
+           "amdahl": {"huge": ["pad"] * 500},
+           "scaling_stagewise_clean": {"pad": "y" * 3000}}
+    js = bench.compact_bench_line(big)
+    assert len(js) <= 1800
+    parsed = json.loads(js)
+    # contract fields always survive
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    # huge diagnostics never leak into the final line
+    assert "amdahl" not in parsed and "scaling_stagewise_clean" not in parsed
+    assert "runs_lo" not in parsed.get("scaling_this_run", {})
+    # pathological cap still yields valid JSON with the scalar contract
+    tiny = json.loads(bench.compact_bench_line(big, cap=300))
+    assert tiny["metric"] == "kg_pipeline_wall" and "value" in tiny
