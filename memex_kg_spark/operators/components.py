@@ -15,9 +15,11 @@ labels (an AQE-sized aggregation, cheap relative to the join).
 
 Iterations are bounded by the graph diameter; alias-sharing graphs are
 shallow (star-ish around hub aliases), so typical convergence is <10
-rounds. For adversarial long-path graphs, swap in large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce and Beyond") — the
-loop skeleton is identical.
+rounds. For adversarial long-path graphs (diameter >> iteration budget)
+``connected_components_twostar`` implements large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): O(log n) rounds regardless of diameter, same (id, component)
+output contract, selectable via ``algorithm="twostar"``.
 """
 
 from __future__ import annotations
@@ -65,20 +67,88 @@ def connected_components_driver(edges: DataFrame, src: str = "src",
                        edges.sparkSession)
 
 
+def connected_components_twostar(edges: DataFrame, src: str = "src",
+                                 dst: str = "dst",
+                                 max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14): converges in O(log n) alternating rounds INDEPENDENT of
+    graph diameter, unlike hash-min whose round count is the diameter.
+    Same output contract as ``connected_components``: (id, component)
+    with component = min id of the component.
+
+    Each round is two grouped aggregations + joins (all on node-id keys,
+    no driver-side state); the edge set is ``localCheckpoint``-ed per
+    round to truncate lineage. Convergence = the parent-edge set reached
+    a fixpoint, detected with a single (count, xxhash64-sum) aggregate
+    instead of a set-difference shuffle.
+
+    large-star(u): connect every neighbor v > u to m = min(N(u) + {u})
+    small-star(u): connect u and every (smaller) parent-neighbor to the
+    smallest of them. At the fixpoint every node points at its
+    component's minimum (the paper's canonical-star invariant).
+    """
+    ids = (edges.select(F.col(src).alias("id"))
+           .union(edges.select(F.col(dst).alias("id")))
+           .distinct().localCheckpoint())
+    # parent edges (u -> v, v < u); self-loops drop out
+    e = (edges.select(F.greatest(F.col(src), F.col(dst)).alias("u"),
+                      F.least(F.col(src), F.col(dst)).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                   .alias("h")).first()  # decimal: ANSI-safe vs overflow
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star over the (larger -> smaller) parent edges
+        smins = (large.groupBy("u").agg(F.min("v").alias("m")))
+        small = (large.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(large.join(smins, "u").select("u", "m"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        new_sig = _sig(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: u -> root; roots (and isolated ids) label themselves
+    return (ids.join(e.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.coalesce("v", "id").alias("component")))
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 50,
                          force_distributed: bool = False,
-                         driver_threshold: int | None = None) -> DataFrame:
+                         driver_threshold: int | None = None,
+                         algorithm: str = "hashmin") -> DataFrame:
     """Return (id, component) where component = min id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Size-aware: small graphs short-circuit to driver union-find; large
-    graphs run the iterative hash-min loop below. The probe is a single
-    bounded ``take(threshold + 1)`` — Spark scans partitions
-    incrementally and stops at the bound, and the fetched rows ARE the
-    union-find input, so the common small-graph path costs exactly one
-    job and one bounded transfer (the old probe ran a limit+count job
-    and then re-collected).
+    graphs run the iterative hash-min loop below (or large-star/small-
+    star when ``algorithm="twostar"`` — pick it when the component
+    diameter may exceed the iteration budget; alias graphs are shallow
+    so hash-min stays the default). The probe is a single bounded
+    ``take(threshold + 1)`` — Spark scans partitions incrementally and
+    stops at the bound, and the fetched rows ARE the union-find input,
+    so the common small-graph path costs exactly one job and one bounded
+    transfer (the old probe ran a limit+count job and then
+    re-collected).
     """
     thr = DRIVER_CC_THRESHOLD if driver_threshold is None \
         else driver_threshold
@@ -86,6 +156,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         head = edges.select(src, dst).take(thr + 1)
         if len(head) <= thr:
             return _union_find(head, edges.sparkSession)
+    if algorithm == "twostar":
+        return connected_components_twostar(edges, src, dst, max_iter)
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .filter(F.col("a") != F.col("b"))
