@@ -10,13 +10,17 @@ Here the same capability is set-oriented and scales to 10^12 turns:
   independently re-runnable unit (Iceberg analogue: ``bucket(N,
   conv_id)`` partition transform; parquet ``bucket=K/`` directories in
   the sandbox);
-- each bucket batch writes its triples via DYNAMIC partition overwrite —
-  re-processing a bucket atomically replaces any partial output from a
-  crashed attempt, giving effectively-once semantics without a
-  transaction log;
+- each bucket batch overwrites its OWN ``bucket=K/`` directory —
+  re-processing a bucket replaces any partial output from a crashed
+  attempt (the lineage row below is the actual commit point), and the
+  output directories are disjoint, so bucket jobs can run CONCURRENTLY
+  (no shared ``_temporary`` staging dir between writers — the classic
+  same-root concurrent-write hazard);
 - a ``lineage`` table records (run_id, bucket, rows_in, n_triples,
   wall_ms, status) AFTER the data lands — the lineage row is the commit
-  point. Resume = anti-join pending buckets against committed lineage;
+  point. Both counts come from ``df.observe`` metrics on the single
+  write job (no extra count jobs / re-read scans per bucket). Resume =
+  anti-join pending buckets against committed lineage;
 - ``nodes``/``edges`` derive from the materialized triples table at the
   end (global dedup), so a resumed run converges to the same graph as an
   uninterrupted one (tested).
@@ -44,8 +48,6 @@ class ResumableKGWriter:
         self.run_id = run_id
         self.triples_path = os.path.join(out_root, "triples")
         self.lineage_path = os.path.join(out_root, "lineage")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
         self._pin_bucket_scheme()
 
     def _pin_bucket_scheme(self) -> None:
@@ -100,34 +102,85 @@ class ResumableKGWriter:
         return t
 
     def process_bucket(self, bucket: int) -> tuple[int, int]:
+        """Extract + write one bucket's triples in a SINGLE Spark job.
+
+        Lineage metrics ride the write via ``df.observe`` instead of
+        separate jobs (r3 verdict: the old input-count + written-re-read
+        pattern cost two extra full scans per bucket — thousands of
+        redundant scans at warehouse scale). Exactly-once metric
+        semantics: ``statements`` is persisted, and the claim branch's
+        distinct shuffle is a parent stage of the union stage, so the
+        observed transcript scan executes exactly once (the statement-
+        triples branch reads the cache, never re-runs the scan).
+
+        The bucket lands in its own ``bucket=K/`` directory (partition
+        discovery reads it back as a partition column) so concurrent
+        bucket writers never share an output ``_temporary`` dir and a
+        re-run cleanly replaces a crashed attempt's partial files."""
+        from pyspark.sql import Observation
+
+        from ..operators.extraction import extract_statements
+
         d = pipeline.load_synth(self.spark, self.synth_path)
         t = self._bucketed_transcripts().filter(F.col("bucket") == bucket)
-        rows_in = t.count()
-        triples = pipeline.extract_triples(
-            t.drop("bucket"), d["alias_dim"], d["pred_dim"])
-        out = triples.withColumn("bucket", F.lit(bucket))
-        # dynamic overwrite: a re-run of this bucket replaces partial files
-        (out.write.mode("overwrite").partitionBy("bucket")
-         .parquet(self.triples_path))
-        n = self.spark.read.parquet(self.triples_path).filter(
-            F.col("bucket") == bucket).count()
-        return rows_in, n
+        obs_in, obs_out = Observation(), Observation()
+        t = t.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        statements = extract_statements(t.drop("bucket")).persist()
+        triples = pipeline.triples_from_statements(
+            statements, d["alias_dim"], d["pred_dim"])
+        out = triples.observe(obs_out,
+                              F.count(F.lit(1)).alias("n_triples"))
+        (out.write.mode("overwrite")
+         .parquet(os.path.join(self.triples_path, f"bucket={bucket}")))
+        statements.unpersist()
+        return int(obs_in.get["rows_in"]), int(obs_out.get["n_triples"])
 
-    def run(self, fail_after: int | None = None) -> dict:
+    def run(self, fail_after: int | None = None,
+            concurrency: int = 4) -> dict:
         """Process all pending buckets; ``fail_after`` aborts after N
-        committed buckets (crash simulation for the resume tests)."""
+        committed buckets (crash simulation for the resume tests).
+
+        Pending buckets are submitted through a bounded thread pool
+        (r3 verdict: sequential bucket loops leave the cluster scheduler
+        idle between jobs; bucket outputs are disjoint directories and
+        the lineage append is serialized under a lock, so overlapping
+        bucket jobs are safe). ``fail_after`` forces sequential order —
+        a crash simulation needs a deterministic commit count."""
         done = self.committed_buckets()
         pending = [b for b in range(self.n_buckets) if b not in done]
-        processed = 0
-        for b in pending:
+        if fail_after is not None:
+            processed = 0
+            for b in pending:
+                t0 = time.time()
+                rows_in, n_triples = self.process_bucket(b)
+                self._commit(b, rows_in, n_triples,
+                             int((time.time() - t0) * 1000))
+                processed += 1
+                if processed >= fail_after:
+                    raise RuntimeError(
+                        f"simulated crash after {processed} buckets")
+            return {"processed": processed, "skipped": len(done),
+                    "total_buckets": self.n_buckets}
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        commit_lock = threading.Lock()
+
+        def work(b: int) -> int:
             t0 = time.time()
             rows_in, n_triples = self.process_bucket(b)
-            self._commit(b, rows_in, n_triples,
-                         int((time.time() - t0) * 1000))
-            processed += 1
-            if fail_after is not None and processed >= fail_after:
-                raise RuntimeError(
-                    f"simulated crash after {processed} buckets")
+            with commit_lock:  # lineage rows share one directory: the
+                # parquet append's _temporary staging must not overlap
+                self._commit(b, rows_in, n_triples,
+                             int((time.time() - t0) * 1000))
+            return b
+
+        processed = 0
+        if pending:
+            with ThreadPoolExecutor(
+                    min(concurrency, len(pending))) as ex:
+                for _ in ex.map(work, pending):
+                    processed += 1
         return {"processed": processed,
                 "skipped": len(done),
                 "total_buckets": self.n_buckets}
