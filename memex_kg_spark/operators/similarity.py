@@ -214,6 +214,63 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int,
             .limit(k))
 
 
+EMBED_LSH_MAX_BUCKET = 64  # per-(band, key) candidate cap: bounds any
+# LSH bucket's self-join at max_bucket^2 pairs. Without it a tight
+# embedding cluster (near-identical directions hash to one bucket) makes
+# a single bucket quadratic at corpus scale — the exact failure mode
+# JACCARD_MAX_DF fixes for hot shingles (r3 verdict #5).
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
+                             n_bands: int = 2, band_planes: int = 8,
+                             seed: int = 42,
+                             max_bucket: int = EMBED_LSH_MAX_BUCKET,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the bounded scale path.
+
+    Banded sign-LSH (MinHash-banding structure applied to hyperplane
+    signatures): each row gets ``n_bands`` bucket keys of ``band_planes``
+    sign bits each; a pair becomes a candidate if it shares ANY band's
+    bucket. Buckets larger than ``max_bucket`` are dropped per band
+    (hot-bucket anti-join) — banding keeps recall under the cap, since a
+    cluster hot in one band's keyspace can still pair through another
+    band, while work stays bounded at max_bucket^2 pairs per bucket.
+    Candidates are verified with exact cosine (join vectors back, two
+    key-partitioned joins — no vector ever fans out per band).
+
+    Everything is md5-derived (``_hyperplanes``), so a SQL engine
+    replays the identical buckets, caps, and candidate set — the DuckDB
+    oracle twin is SQL_DEDUP_EMBEDDING."""
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    sigs = lsh_signatures(emb, dim_row["d"], n_bands * band_planes, seed,
+                          vec_col)
+    mask = (1 << band_planes) - 1
+    keys = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("bucket"), b * band_planes)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)])).alias("band", "key"))
+    hot = (keys.groupBy("band", "key").count()
+           .filter(F.col("count") > max_bucket).drop("count"))
+    cold = keys.join(hot, ["band", "key"], "left_anti")
+    a = cold.select(F.col(id_col).alias("a_id"), "band", "key")
+    b = cold.select(F.col(id_col).alias("b_id"), "band", "key")
+    cands = (a.join(b, ["band", "key"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id").distinct())
+    av = emb.select(F.col(id_col).alias("a_id"),
+                    F.col(vec_col).alias("a_vec"))
+    bv = emb.select(F.col(id_col).alias("b_id"),
+                    F.col(vec_col).alias("b_vec"))
+    return (cands.join(av, "a_id").join(bv, "b_id")
+            .withColumn("sim", F.round(cosine(F.col("a_vec"),
+                                              F.col("b_vec")), 4))
+            .filter(F.col("sim") >= threshold)
+            .select("a_id", "b_id", "sim"))
+
+
 def pairwise_topk_per_item(emb: DataFrame, k: int, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            n_planes: int = 8, seed: int = 42) -> DataFrame:

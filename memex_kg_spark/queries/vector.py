@@ -469,42 +469,68 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the vector-space member of
     the dedup family (exact / MinHash / SimHash / Jaccard / cosine).
 
+    Registered in the CAPPED banded-LSH form (r3 verdict #5: the bucket
+    self-join must carry a per-bucket df cap, exactly as the registered
+    Jaccard carries JACCARD_MAX_DF; the uncapped broadcast-probe scan is
+    never the registered path).
+
     The corpus is augmented with a scaled copy of each probe vector
     (vec_id+100000, 2x magnitude) so near-dup pairs provably exist:
     cosine is scale-invariant, so each (v, 2v) pair scores 1.0 while
-    being byte-wise different. Probe side restricted to vec_id < 100 and
-    broadcast — the all-pairs scan stays bounded; the unbounded-scale
-    path is LSH bucketing (see ann_lsh_topk / minhash_lsh_pairs)."""
+    being byte-wise different — and sign-LSH puts v and 2v in the SAME
+    bucket of every band by construction, so the LSH path must recover
+    every planted pair (recall + cap semantics additionally pinned in
+    pytest)."""
     emb = _emb(spark, sf_dir)
-    probes = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
-    scaled = probes.select(
-        (F.col("a_id") + 100000).alias("vec_id"),
-        F.transform("a_vec", lambda x: x * 2.0).alias("embedding"))
-    cands = (emb.select("vec_id", "embedding").unionByName(scaled)
-             .select(F.col("vec_id").alias("b_id"),
-                     F.col("embedding").alias("b_vec")))
-    return (F.broadcast(probes).crossJoin(cands)
-            .filter(F.col("a_id") < F.col("b_id"))
-            .withColumn("sim", F.round(S.cosine(F.col("a_vec"),
-                                                F.col("b_vec")), 4))
-            .filter(F.col("sim") >= 0.99)
-            .select("a_id", "b_id", "sim")
+    scaled = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"))
+    aug = emb.select("vec_id", "embedding").unionByName(scaled)
+    return (S.embedding_near_dup_pairs(aug, threshold=0.99, n_bands=2,
+                                       band_planes=8, seed=42,
+                                       max_bucket=S.EMBED_LSH_MAX_BUCKET)
             .orderBy("a_id", "b_id"))
 
 
-SQL_DEDUP_EMBEDDING = """
+SQL_DEDUP_EMBEDDING = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
-aug AS (SELECT vec_id, embedding FROM base
-        UNION ALL
-        SELECT vec_id + 100000 AS vec_id,
-               list_transform(embedding, x -> x * 2.0) AS embedding
-        FROM base WHERE vec_id < 100),
-pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                 CAST(unnest(a.embedding) AS DOUBLE) AS x,
-                 CAST(unnest(b.embedding) AS DOUBLE) AS y
-          FROM base a JOIN aug b ON a.vec_id < b.vec_id
-          WHERE a.vec_id < 100),
+aug AS MATERIALIZED (
+    SELECT vec_id, embedding FROM base
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding, x -> x * 2.0) AS embedding
+    FROM base WHERE vec_id < 100),
+vecs AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM aug),
+planes AS (SELECT p, j,
+                  CAST(('0x' || substr(md5('lsh:42:' || p || ':' || j),
+                                       1, 8)) AS BIGINT)
+                      / 4294967296.0 - 0.5 AS w
+           FROM (SELECT unnest(range(0, 16)) AS p),
+                (SELECT unnest(range(0, 64)) AS j)),
+dots AS (SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+         FROM vecs v JOIN planes pl USING (j)
+         GROUP BY v.vec_id, pl.p),
+bkeys AS MATERIALIZED (
+    SELECT vec_id, CAST(floor(p / 8) AS INT) AS band,
+           CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
+                    ELSE 0 END) AS BIGINT) AS bkey
+    FROM dots GROUP BY vec_id, CAST(floor(p / 8) AS INT)),
+hot AS (SELECT band, bkey FROM bkeys GROUP BY band, bkey
+        HAVING count(*) > {S.EMBED_LSH_MAX_BUCKET}),
+cold AS (SELECT k.vec_id, k.band, k.bkey FROM bkeys k
+         ANTI JOIN hot h ON k.band = h.band AND k.bkey = h.bkey),
+cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM cold a JOIN cold b
+            ON a.band = b.band AND a.bkey = b.bkey
+           AND a.vec_id < b.vec_id),
+pairs AS (SELECT c.a_id, c.b_id,
+                 CAST(unnest(va.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(vb.embedding) AS DOUBLE) AS y
+          FROM cands c
+          JOIN aug va ON va.vec_id = c.a_id
+          JOIN aug vb ON vb.vec_id = c.b_id),
 sums AS (SELECT a_id, b_id, sum(x * y) AS d, sum(x * x) AS nx,
                 sum(y * y) AS ny
          FROM pairs GROUP BY a_id, b_id)

@@ -144,3 +144,39 @@ def test_dedup_embedding_finds_scaled_copies(spark):
     for a in probe_ids:
         assert pairs.get((a, a + 100000)) == 1.0
     assert len(probe_ids) == n_probes
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """r4 (verdict #5): the per-(band, bucket) df cap bounds the LSH
+    self-join. A tight cluster (identical directions -> identical sign
+    signature in EVERY band) larger than the cap is dropped from every
+    band — zero candidate pairs, bounded work — while under the cap all
+    of its pairs are found. Same contract as JACCARD_MAX_DF for hot
+    shingles."""
+    v = [0.9, -0.3, 0.5, 0.1, -0.7, 0.2, -0.4, 0.8]
+    rows = [(i, [x * (1.0 + i) for x in v]) for i in range(30)]
+    # deterministic LCG background: unrelated directions, no near-dups
+    s = 12345
+    for i in range(100, 130):
+        vec = []
+        for _ in range(8):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vec.append(s / float(1 << 30) - 1.0)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = S.embedding_near_dup_pairs(
+        df, threshold=0.999, n_bands=2, band_planes=8, max_bucket=5)
+    assert not [r for r in capped.collect() if r["a_id"] < 30]
+
+    uncapped = S.embedding_near_dup_pairs(
+        df, threshold=0.999, n_bands=2, band_planes=8, max_bucket=64)
+    got = {(r["a_id"], r["b_id"]) for r in uncapped.collect()
+           if r["a_id"] < 30 and r["b_id"] < 30}
+    want = {(a, b) for a in range(30) for b in range(30) if a < b}
+    assert got == want
+
+    # plan shape: hot-bucket anti-join present, never a cartesian product
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
