@@ -36,15 +36,87 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text"
                                                     F.lit(""))), "UTF-8"))
 
 
-def decode_media(payload: bytes) -> "np.ndarray":
-    """REAL DECODER NOT AVAILABLE IN THIS ENVIRONMENT.
+MEDIA_CODEC_ENV = "MEMEX_KG_MEDIA_CODEC"
+VISUAL_NPZ_ENV = "MEMEX_KG_VISUAL_NPZ"
 
-    Would be: PIL.Image.open(io.BytesIO(payload)) / torchaudio.load /
-    av.open for video frame sampling. Raise so callers can't silently
+_VISUAL_CACHE: dict = {}  # per-worker weights cache (broadcast-model
+# pattern, same contract as embed_text._W2V_CACHE)
+
+
+def decode_media(payload: bytes, codec=None) -> "np.ndarray":
+    """Decode a media payload to a raw sample array (uint8).
+
+    Real codecs (PIL/torchaudio/ffmpeg) are NOT in this container, so
+    decoding is env-gated: ``codec`` (or ``$MEMEX_KG_MEDIA_CODEC``)
+    names an importable module exposing ``decode(bytes) -> ndarray`` —
+    the seam where PIL.Image.open / torchaudio.load / av.open plugs in.
+    With no codec configured this RAISES so callers can't silently
     treat stub features as real."""
+    import os
+    codec = codec or os.environ.get(MEDIA_CODEC_ENV)
+    if codec is not None:
+        if callable(codec):
+            return codec(payload)
+        import importlib
+        return importlib.import_module(codec).decode(payload)
     raise NotImplementedError(
-        "media codecs (PIL/torchaudio/ffmpeg) are not installed; "
-        "use extract_features (deterministic stub) for plumbing tests")
+        "media codecs (PIL/torchaudio/ffmpeg) are not installed; point "
+        f"${MEDIA_CODEC_ENV} at a module exposing decode(bytes)->ndarray "
+        "or use extract_features (deterministic stub) for plumbing tests")
+
+
+def _load_visual(path: str) -> "np.ndarray":
+    hit = _VISUAL_CACHE.get(path)
+    if hit is None:
+        z = np.load(path, allow_pickle=False)
+        hit = np.asarray(z["proj"], dtype=np.float64)
+        _VISUAL_CACHE[path] = hit
+    return hit
+
+
+def extract_visual_embeddings(with_payload: DataFrame,
+                              model_path: str | None = None,
+                              codec=None) -> DataFrame:
+    """G8 with real weights (reference ResNet18 image embedding,
+    db/models.py:59-121 and extract_images.py:24-75): decode each
+    payload through the env-pointed codec seam (``decode_media``),
+    featurize the decoded sample (16-bin normalized nibble histogram —
+    the stand-in backbone), and project through ``proj`` (float[16, d])
+    from the npz at ``model_path`` / ``$MEMEX_KG_VISUAL_NPZ``. Weights
+    load once per Python worker; decode + matmul run vectorized per
+    Arrow batch inside mapInPandas (narrow stage, no shuffle). RAISES
+    when either seam is absent — stub features never masquerade as
+    real. ``codec`` may be a callable (tests / driver-local decoders)
+    or a module name (cluster deployments, importable on executors)."""
+    import os
+
+    path = model_path or os.environ.get(VISUAL_NPZ_ENV)
+    codec = codec or os.environ.get(MEDIA_CODEC_ENV)
+    if not path or codec is None:
+        raise NotImplementedError(
+            f"visual embedding needs ${VISUAL_NPZ_ENV} (npz with 'proj' "
+            f"float[16, d]) and ${MEDIA_CODEC_ENV} (decode seam)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = _load_visual(path)
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                arr = np.asarray(
+                    decode_media(bytes(payload), codec=codec)).ravel()
+                arr = arr.astype(np.uint8, copy=False)
+                h = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                tot = h.sum()
+                feat = h / tot if tot > 0 else h
+                embs.append(np.round(feat @ proj, 6).tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "embedding": embs,
+            })
+
+    return (with_payload.select("doc_id", "payload")
+            .mapInPandas(run, schema="doc_id long, "
+                                     "embedding array<double>"))
 
 
 def _feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
