@@ -264,7 +264,14 @@ def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 5 mod 23 is removed along with its incident edges, and each
     surviving node carries ``deg``, its endpoint count over the
     SURVIVING edge set, so the oracle value-checks the edge detachment
-    too, not just the node removal."""
+    too, not just the node removal; (c) ENRICH-EXISTING-NODES (new r4 —
+    reference db/db_desc.py:96-141: fetch a node's description, compute
+    its w2v embedding, SET the properties back onto the stored node) —
+    every surviving qid = 3 mod 11 gets its label embedded
+    (embed_text.avg_feature_vector, the G7 path) and the 4 embedding
+    dims SET through the same upsert MERGE, value-checked as d0..d3
+    (NULL on non-enriched nodes)."""
+    from ..operators.embed_text import avg_feature_vector
     from ..operators.upsert import detach_delete, upsert
 
     nodes = kg_artifacts(spark, sf_dir)["nodes"]
@@ -287,6 +294,18 @@ def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims = merged.filter(qnum % 23 == 5).select("qid")
     edges = kg_artifacts(spark, sf_dir)["edges"].select("src", "dst")
     kept, surv_edges = detach_delete(merged, edges, victims)
+    # (c) enrich-existing-nodes: compute the label embedding for the
+    # enrich subset and SET it back through the same MERGE path (the
+    # read-compute-SET maintenance job of db/db_desc.py:96-141)
+    base = kept.select(
+        "*", *[F.lit(None).cast("double").alias(f"d{i}")
+               for i in range(4)])
+    enriched = (kept.filter(qnum % 11 == 3)
+                .withColumn("_e", avg_feature_vector(F.col("label"))))
+    enriched = enriched.select(
+        *kept.columns,
+        *[F.element_at("_e", i + 1).alias(f"d{i}") for i in range(4)])
+    final = upsert(base, enriched, ["qid"])
     deg = (surv_edges.select(F.col("src").alias("qid"))
            .unionAll(surv_edges.select(F.col("dst").alias("qid")))
            .groupBy("qid").agg(F.count("*").alias("deg")))
@@ -294,12 +313,13 @@ def q_node_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.transform(
             F.map_entries("props"),
             lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
-    return (kept.withColumn("props_str", props_str)
+    return (final.withColumn("props_str", props_str)
             .join(deg, "qid", "left")
             .select("qid", "label", "node_type", "lat", "lon",
                     "canonical_id", "props_str",
                     F.coalesce(F.col("deg"), F.lit(0)).cast("long")
-                    .alias("deg")))
+                    .alias("deg"),
+                    "d0", "d1", "d2", "d3"))
 
 
 def _sql_node_upsert(p: str) -> str:
@@ -333,16 +353,46 @@ def _sql_node_upsert(p: str) -> str:
             SELECT qid, count(*) AS deg FROM (
                 SELECT src AS qid FROM surv_edges
                 UNION ALL SELECT dst AS qid FROM surv_edges)
+            GROUP BY qid),
+        etoks AS (
+            SELECT qid, unnest(string_split_regex(trim(lower(label)),
+                                                  '\\s+')) AS tok
+            FROM merged
+            WHERE CAST(substr(qid, 2) AS INT) % 11 = 3
+              AND qid NOT IN (SELECT qid FROM victims)),
+        ecomps AS (
+            SELECT qid, j,
+                   CAST(('0x' || substr(md5(j || ':' || tok), 1, 8))
+                        AS BIGINT) / 2147483648.0 - 1.0 AS c
+            FROM etoks, (SELECT unnest(range(0, 4)) AS j) dims
+            WHERE tok <> ''),
+        eagg AS (
+            SELECT qid,
+                   max(CASE WHEN j = 0 THEN m END) AS d0,
+                   max(CASE WHEN j = 1 THEN m END) AS d1,
+                   max(CASE WHEN j = 2 THEN m END) AS d2,
+                   max(CASE WHEN j = 3 THEN m END) AS d3
+            FROM (SELECT qid, j, round(sum(c) / count(*), 6) AS m
+                  FROM ecomps GROUP BY qid, j)
             GROUP BY qid)
         SELECT m.qid, m.label, m.node_type, m.lat, m.lon, m.canonical_id,
                coalesce(ps.props_str, '') AS props_str,
-               CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+               CASE WHEN CAST(substr(m.qid, 2) AS INT) % 11 = 3
+                    THEN coalesce(e.d0, 0.0) END AS d0,
+               CASE WHEN CAST(substr(m.qid, 2) AS INT) % 11 = 3
+                    THEN coalesce(e.d1, 0.0) END AS d1,
+               CASE WHEN CAST(substr(m.qid, 2) AS INT) % 11 = 3
+                    THEN coalesce(e.d2, 0.0) END AS d2,
+               CASE WHEN CAST(substr(m.qid, 2) AS INT) % 11 = 3
+                    THEN coalesce(e.d3, 0.0) END AS d3
         FROM merged m
         LEFT JOIN (
             SELECT qid, string_agg(pred || '=' || obj, ';'
                 ORDER BY pred || '=' || obj) AS props_str
             FROM props GROUP BY qid) ps ON m.qid = ps.qid
         LEFT JOIN deg d ON m.qid = d.qid
+        LEFT JOIN eagg e ON m.qid = e.qid
         WHERE m.qid NOT IN (SELECT qid FROM victims)""")
 
 
