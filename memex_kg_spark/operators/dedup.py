@@ -152,25 +152,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint: bit j of the fingerprint = sign of the sum of
     (+1/-1) votes of token-hash bit j. Kept at <=62 bits (signed long).
-    Pure built-ins: explode tokens -> bit explode via sequence -> two
-    shuffles keyed by (doc, bit) then doc."""
+
+    The per-bit vote sums run as ``bits`` parallel SUM aggregates inside
+    ONE doc-keyed groupBy (map-side partial aggregation) — no row
+    amplification and a single shuffle. The previous shape exploded
+    ``bits`` rows per token and shuffled on (doc, bit) before re-packing
+    (r3 verdict "wrong #4": linear, but a 32x row blow-up a wide
+    aggregate avoids outright)."""
     toks = (df.select(id_col, F.explode(_tokens(F.col(text_col)))
                       .alias("tok"))
             .filter(F.col("tok") != ""))
     h = toks.withColumn("hv", _md5_hash64(F.col("tok"), 13))
-    bit_votes = F.array(*[
-        F.struct(F.lit(j).alias("bit"),
-                 F.when(F.expr(f"shiftright(hv, {j}) % 2 = 1"), 1)
-                 .otherwise(-1).alias("vote"))
+    votes = h.groupBy(id_col).agg(*[
+        F.sum(F.when(F.expr(f"shiftright(hv, {j}) % 2 = 1"), 1)
+              .otherwise(-1)).alias(f"_v{j}")
         for j in range(bits)])
-    bitsdf = (h.select(id_col, F.explode(bit_votes).alias("b"))
-              .select(id_col, "b.bit", "b.vote"))
-    votes = (bitsdf.groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
-    return (votes.groupBy(id_col)
-            .agg(F.sum(F.when(F.col("v") > 0,
-                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                       .otherwise(F.lit(0).cast("long")))
-                 .alias("simhash")))
+    fp = None
+    for j in range(bits):
+        term = (F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
