@@ -281,3 +281,29 @@ def test_compact_bench_line_fits_driver_buffer():
     # pathological cap still yields valid JSON with the scalar contract
     tiny = json.loads(bench.compact_bench_line(big, cap=300))
     assert tiny["metric"] == "kg_pipeline_wall" and "value" in tiny
+
+
+def test_camp_best_to_result_shape():
+    """r4: the driver pair now measures via this-run camps; the sample
+    must reshape into exactly the stage_run result contract main()
+    assembles pair_now from."""
+    import bench
+    s = {"walls": {"extract_mentions": 5.0, "link_and_triples": 7.0,
+                   "nodes_edges": 2.0},
+         "total": 14.0, "bracket": 1.2, "inrun": 1.9,
+         "n_triples": 123456,
+         "stage_mins": {"extract_mentions": 4.8,
+                        "link_and_triples": 6.9, "nodes_edges": 2.0},
+         "all_totals": [15.0, 14.0], "all_brackets": [2.0, 1.2],
+         "all_inruns": [3.0, 1.9]}
+    r = bench.camp_best_to_result(s)
+    assert r["pipeline_total"] == 14.0
+    assert r["extract_mentions"] == 5.0
+    assert r["n_triples"] == 123456
+    assert r["cal_ratio"] == 1.2 and r["cal_inrun"] == 1.9
+    assert r["stagemin_total"] == 13.7
+    assert r["all_runs"] == [15.0, 14.0]
+    # the fields the pair-assembly and query-report loops read must all
+    # be present (pair_now + queries construction in bench.main)
+    for k in ("cal_ratios", "cal_inruns", "stage_mins"):
+        assert k in r
