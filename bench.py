@@ -1551,11 +1551,16 @@ if __name__ == "__main__":
         ap.add_argument("--full", action="store_true")
         ap.add_argument("--this-run", action="store_true",
                         dest="this_run")
+        ap.add_argument("--gate", type=float, default=1.3,
+                        help="camp fire gate: max probe/floor ratio to "
+                             "fire a shot (the post-hoc clean gates are "
+                             "looser; a mild sustained phase can sit "
+                             "between them and starve a 1.3 trigger)")
         a = ap.parse_args()
         if a.stage == "gen":
             stage_gen(a.sf, a.cores)
         elif a.stage == "camp":
-            stage_camp(a.cores, a.synth, budget_s=a.budget,
+            stage_camp(a.cores, a.synth, budget_s=a.budget, gate=a.gate,
                        polish=a.polish, full=a.full or a.this_run,
                        this_run=a.this_run)
         else:
