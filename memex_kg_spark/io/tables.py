@@ -40,7 +40,15 @@ from ..operators.canonicalize import build_edges, build_nodes
 
 class ResumableKGWriter:
     def __init__(self, spark: SparkSession, synth_path: str, out_root: str,
-                 n_buckets: int = 8, run_id: str = "run-1"):
+                 n_buckets: int = 8, run_id: str = "run-1",
+                 catalog: str | None = None, namespace: str = "kg"):
+        """``catalog=None`` (default, and the only mode exercisable in
+        this sandbox) stores every table as bucketed parquet directories
+        under ``out_root``. Passing an Iceberg catalog name routes the
+        SAME API through transactional tables instead — dynamic
+        partition overwrite becomes ``overwritePartitions()``, the
+        anti-join+append finalize becomes ``MERGE INTO`` (see
+        ``io/iceberg.py``)."""
         self.spark = spark
         self.synth_path = synth_path
         self.out_root = out_root
@@ -48,7 +56,15 @@ class ResumableKGWriter:
         self.run_id = run_id
         self.triples_path = os.path.join(out_root, "triples")
         self.lineage_path = os.path.join(out_root, "lineage")
-        self._pin_bucket_scheme()
+        if catalog is None:
+            catalog = os.environ.get("MEMEX_KG_CATALOG") or None
+        self.ice = None
+        if catalog:
+            from .iceberg import IcebergTableIO
+            self.ice = IcebergTableIO(spark, catalog, namespace)
+            self.ice.ensure_tables(n_buckets)
+        else:
+            self._pin_bucket_scheme()
 
     def _pin_bucket_scheme(self) -> None:
         """The bucket count IS the warehouse layout: resuming with a
@@ -73,9 +89,14 @@ class ResumableKGWriter:
 
     # -- lineage ------------------------------------------------------------
 
+    def _read_lineage(self) -> DataFrame:
+        if self.ice is not None:
+            return self.ice.read_lineage()
+        return self.spark.read.parquet(self.lineage_path)
+
     def committed_buckets(self) -> set[int]:
         try:
-            rows = (self.spark.read.parquet(self.lineage_path)
+            rows = (self._read_lineage()
                     .filter(F.col("status") == "ok")
                     .select("bucket").distinct().collect())
             return {r["bucket"] for r in rows}
@@ -86,11 +107,13 @@ class ResumableKGWriter:
                 wall_ms: int) -> None:
         row = [(self.run_id, bucket, rows_in, n_triples, wall_ms, "ok",
                 time.strftime("%Y-%m-%dT%H:%M:%S"))]
-        (self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             row, "run_id string, bucket int, rows_in long, n_triples long, "
                  "wall_ms long, status string, finished_at string")
-         .coalesce(1)
-         .write.mode("append").parquet(self.lineage_path))
+        if self.ice is not None:
+            self.ice.append_lineage(df)
+            return
+        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
 
     # -- processing ---------------------------------------------------------
 
@@ -130,8 +153,12 @@ class ResumableKGWriter:
             statements, d["alias_dim"], d["pred_dim"])
         out = triples.observe(obs_out,
                               F.count(F.lit(1)).alias("n_triples"))
-        (out.write.mode("overwrite")
-         .parquet(os.path.join(self.triples_path, f"bucket={bucket}")))
+        if self.ice is not None:
+            self.ice.overwrite_triples_bucket(
+                out.withColumn("bucket", F.lit(bucket)))
+        else:
+            (out.write.mode("overwrite")
+             .parquet(os.path.join(self.triples_path, f"bucket={bucket}")))
         statements.unpersist()
         return int(obs_in.get["rows_in"]), int(obs_out.get["n_triples"])
 
@@ -188,6 +215,8 @@ class ResumableKGWriter:
     # -- outputs ------------------------------------------------------------
 
     def triples(self) -> DataFrame:
+        if self.ice is not None:
+            return self.ice.read_triples().drop("bucket")
         return self.spark.read.parquet(self.triples_path).drop("bucket")
 
     def finalize_graph(self) -> tuple[DataFrame, DataFrame]:
@@ -210,21 +239,42 @@ class ResumableKGWriter:
         edges_path = os.path.join(self.out_root, "edges")
         state_path = os.path.join(self.out_root, "_FINALIZED.json")
         done: list[int] = []
-        if os.path.exists(state_path):
+        if self.ice is not None:
+            done = self.ice.finalized_buckets()
+        elif os.path.exists(state_path):
             with open(state_path) as f:
                 done = json.load(f)["buckets"]
         committed = sorted(self.committed_buckets())
         new = [b for b in committed if b not in set(done)]
         self.last_finalize = {"buckets_scanned": new,
                               "mode": "incremental" if done else "full"}
-        if done and not new:
+
+        def _graph():
+            if self.ice is not None:
+                return self.ice.read_nodes(), self.ice.read_edges()
             return (self.spark.read.parquet(nodes_path),
                     self.spark.read.parquet(edges_path))
-        tri_new = (self.spark.read.parquet(self.triples_path)
+
+        if done and not new:
+            return _graph()
+        tri_all = (self.ice.read_triples() if self.ice is not None
+                   else self.spark.read.parquet(self.triples_path))
+        tri_new = (tri_all
                    .filter(F.col("bucket").isin([int(b) for b in new]))
                    .drop("bucket").localCheckpoint())
         cand_nodes = build_nodes(tri_new, d["alias_dim"])
         cand_edges = build_edges(tri_new, cand_nodes, d["pred_dim"])
+        if self.ice is not None:
+            # MERGE INTO replaces the parquet anti-join + append: the
+            # catalog's snapshot isolation makes a replayed finalize
+            # idempotent the same way the anti-join absorbs a replay.
+            if not done and not self.ice.graph_exists():
+                self.ice.replace_graph(cand_nodes, cand_edges)
+            else:
+                self.ice.merge_nodes(cand_nodes)
+                self.ice.merge_edges(cand_edges)
+            self.ice.record_finalized(new)
+            return _graph()
         if not done:
             cand_nodes.write.mode("overwrite").parquet(nodes_path)
             cand_edges.write.mode("overwrite").parquet(edges_path)
@@ -242,8 +292,7 @@ class ResumableKGWriter:
         with open(tmp, "w") as f:
             json.dump({"buckets": committed}, f)
         os.replace(tmp, state_path)
-        return (self.spark.read.parquet(nodes_path),
-                self.spark.read.parquet(edges_path))
+        return _graph()
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_path)
+        return self._read_lineage()
