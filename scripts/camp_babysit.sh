@@ -24,8 +24,18 @@ while [ $(( $(date +%s) - T0 )) -lt "$TOTAL" ]; do
       left=$(( TOTAL - ($(date +%s) - T0) ))
       [ "$left" -le 120 ] && break 2
       budget=$(( left < 3000 ? left : 3000 ))
+      # per-level fire gate: the post-hoc clean gates are self-load-aware
+      # (in-run <= 2.5x at c2 / 4x at c8 / 8x at c32), so during a mild
+      # sustained phase (ambient 2-3x) the high levels can still land
+      # CLEAN shots that a flat 1.3 trigger would starve; the merge keeps
+      # only the cleanest/fastest sample either way.
+      case "$c" in
+        2)  gate=1.3 ;;
+        8)  gate=2.0 ;;
+        *)  gate=3.0 ;;
+      esac
       nohup python "$REPO/bench.py" --stage camp --cores "$c" \
-        --synth "$SYNTH" --budget "$budget" --full \
+        --synth "$SYNTH" --budget "$budget" --full --gate "$gate" \
         >> "/tmp/camp2_$(basename "$SYNTH")_c${c}_full.log" 2>&1 &
       sleep 5
     fi
