@@ -1019,22 +1019,33 @@ def main() -> None:
     # fires one unconditional run at the end, so scaling_this_run always
     # carries honest data.
     def measure_camp(cores: int, budget_s: float) -> dict:
+        # per-level fire gate, mirroring scripts/camp_babysit.sh: the
+        # post-hoc clean gates are self-load-aware (2.5x c2 / 4x c8), so
+        # firing the hi level only under a 1.3 ambient starves it during
+        # mild sustained phases where its shots would still grade clean
+        gate = "1.3" if cores <= 2 else ("2.0" if cores <= 8 else "3.0")
         out = _sub(["--stage", "camp", "--full", "--this-run",
                     "--cores", str(cores), "--synth", synth_path,
-                    "--budget", str(round(budget_s, 1))])
+                    "--budget", str(round(budget_s, 1)),
+                    "--gate", gate])
         return camp_best_to_result(json.loads(
             [ln for ln in out.splitlines()
              if ln.startswith("CAMP_BEST_JSON=")][-1].split("=", 1)[1]))
 
-    remaining = max(0.0, total_budget - (time.time() - bench_t0) - 60.0)
+    def left(reserve: float) -> float:
+        return max(0.0, total_budget - (time.time() - bench_t0) - reserve)
+
     # hi runs ~4x faster: a third of the window buys it more shots than
-    # the lo level gets from the rest
-    budgets = {hi: max(240.0, remaining * 0.35)}
-    budgets[lo] = max(300.0, remaining - budgets[hi])
+    # the lo level gets from the rest. Budgets are computed AT LAUNCH so
+    # a hi camp that exits early on its first clean sample hands its
+    # unspent budget to the lo level (which needs the quietest window —
+    # its in-run gate is the strictest) instead of stranding it.
     for cores in (hi, lo):  # short level first: both may fit one window
         if cores in results:
             continue
-        results[cores] = measure_camp(cores, budgets[cores])
+        budget = (max(240.0, left(60.0) * 0.35) if cores == hi
+                  else max(300.0, left(60.0)))
+        results[cores] = measure_camp(cores, budget)
 
     aux = results[cpus].pop("_aux", {})
     n_triples = results[cpus]["n_triples"]
