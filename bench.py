@@ -548,7 +548,7 @@ def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
         _merge_best_headline({
             "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
             "corpus_sf": corpus_sf, "cpus": 32, "wall_sec": round(wall, 3),
-            "cal": round(cal, 2),
+            "cal": round(cal, 2), "cal_inrun": round(cal_inrun, 2),
             "triples_per_sec": round(n_triples / wall, 1) if wall else None,
         })
     lo = data.get(f"{workload_hash()}|sf{corpus_sf:g}|c2")
@@ -1091,6 +1091,7 @@ def main() -> None:
         "corpus_sf": bench_sf, "cpus": cpus,
         "wall_sec": results[cpus]["pipeline_total"],
         "cal": results[cpus].get("cal_ratio", 99),
+        "cal_inrun": results[cpus].get("cal_inrun"),
         "triples_per_sec": tput[cpus],
         "stage_mins": results[cpus].get("stage_mins"),
     })
@@ -1169,9 +1170,9 @@ def compact_bench_line(line: dict, cap: int = 1800) -> str:
         "efficiency_best_evidence": line.get("efficiency_best_evidence"),
         "headline_best_known": {
             k: headline_best.get(k)
-            for k in ("wall_sec", "cal", "triples_per_sec", "corpus_sf",
-                      "workload_hash")} if isinstance(headline_best, dict)
-        else headline_best,
+            for k in ("wall_sec", "cal", "cal_inrun", "triples_per_sec",
+                      "corpus_sf", "workload_hash")}
+        if isinstance(headline_best, dict) else headline_best,
         "scaling": {
             k: best_pair.get(k)
             for k in ("measured_at", "corpus_sf", "cores_lo", "cores_hi",
@@ -1349,10 +1350,26 @@ def _merge_best_pair(pair_now: dict) -> dict:
     return best
 
 
+def _headline_clean(p: dict) -> bool:
+    """Same clean definition as _fullrun_clean / _pair_clean (r4: the
+    headline merge predated the in-run watcher and still keyed on
+    bracket cal <= 1.5, so a camp run the full-run tier graded CLEAN —
+    in-run storm-free, brackets under the neighborhood bound — could
+    never become the banked headline; one clean definition everywhere).
+    Entries without an in-run reading (pre-watcher stage_run samples)
+    keep qualifying through the strict bracket rule they were graded
+    under."""
+    if p.get("cal_inrun") is not None:
+        return (p.get("cal", 99) <= BRACKET_NEIGHBOR_MAX
+                and p["cal_inrun"] <= _inrun_gate(p.get("cpus", 32)))
+    return p.get("cal", 99) <= CAL_CLEAN_MAX
+
+
 def _merge_best_headline(now: dict) -> dict:
     """Best-known-clean local[CPUS] headline, persisted like the scaling
-    pair: cleanest (lowest cal), then fastest, for the current pipeline
-    code only; noisy samples (cal > CAL_CLEAN_MAX) are reported but never
+    pair: clean-class first (in-run watcher + neighborhood bracket, see
+    _headline_clean), then lowest bracket cal, then fastest, for the
+    current pipeline code only; noisy samples are reported but never
     stored."""
     path = os.path.join(REPO, "BENCH", "best_headline.json")
     wh = workload_hash()
@@ -1368,20 +1385,21 @@ def _merge_best_headline(now: dict) -> dict:
         stored = None
 
     def quality(p):
-        return (p.get("cal", 99), p.get("wall_sec", 1e9))
+        return (not _headline_clean(p), p.get("cal", 99),
+                p.get("wall_sec", 1e9))
 
     best = now
     if stored is not None:
         s_sf = stored.get("corpus_sf") or 0
         n_sf = now.get("corpus_sf") or 0
-        if s_sf > n_sf and stored.get("cal", 99) <= CAL_CLEAN_MAX:
+        if s_sf > n_sf and _headline_clean(stored):
             # never let a clean small-corpus smoke run displace the
             # banked clean headline at a larger corpus (same rationale
             # as _merge_best_pair)
             best = stored
         elif s_sf == n_sf and quality(stored) < quality(now):
             best = stored
-    if best.get("cal", 99) <= CAL_CLEAN_MAX:
+    if _headline_clean(best):
         with open(path, "w") as f:
             json.dump(best, f, indent=1)
     elif stored is not None:
