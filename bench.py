@@ -826,8 +826,11 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
         finally:
             fcntl.flock(lock_f, fcntl.LOCK_UN)
     if this_run:
+        # clean-first, then LOWEST WALL — the same ordering
+        # _merge_best_fullrun banks, so scaling_this_run and the bank
+        # agree on which sample represents this level
         best = min(fired, key=lambda s: (not _sample_clean(s),
-                                         s["inrun"], s["total"]))
+                                         s["total"]))
         stage_mins = {st: min(s["walls"][st] for s in fired)
                       for st in stages}
         print("CAMP_BEST_JSON=" + json.dumps({

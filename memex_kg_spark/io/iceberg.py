@@ -143,7 +143,11 @@ class IcebergTableIO:
         return self.spark.read.table(self.tbl("edges"))
 
     def graph_exists(self) -> bool:
-        return self.spark.catalog.tableExists(self.tbl("nodes"))
+        """True only when BOTH graph tables exist — replace_graph commits
+        them as two snapshots, so checking one table alone mistakes a
+        crash between the two commits for a finalized graph."""
+        return (self.spark.catalog.tableExists(self.tbl("nodes"))
+                and self.spark.catalog.tableExists(self.tbl("edges")))
 
     # -- finalize state -------------------------------------------------
 

@@ -268,7 +268,12 @@ class ResumableKGWriter:
             # MERGE INTO replaces the parquet anti-join + append: the
             # catalog's snapshot isolation makes a replayed finalize
             # idempotent the same way the anti-join absorbs a replay.
-            if not done and not self.ice.graph_exists():
+            # Gate on `not done` ALONE: replace_graph commits nodes and
+            # edges as two snapshots, so a crash between them leaves the
+            # nodes table existing while no bucket is recorded finalized
+            # — a replay must re-replace (createOrReplace is idempotent),
+            # not MERGE into an edges table that was never created.
+            if not done:
                 self.ice.replace_graph(cand_nodes, cand_edges)
             else:
                 self.ice.merge_nodes(cand_nodes)

@@ -117,11 +117,20 @@ def connected_components_twostar(edges: DataFrame, src: str = "src",
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .filter(F.col("u") != F.col("v"))
                  .distinct())
-        # small-star over the (larger -> smaller) parent edges
+        # checkpoint: smins AND the small-star join both consume `large`,
+        # and without it each consumer re-runs the sym/groupBy/join above
+        large = large.localCheckpoint()
+        # small-star over the (larger -> smaller) parent edges; both
+        # output branches ((v, m) and (u, m)) come out of ONE join pass
+        # via explode instead of joining `large` twice
         smins = (large.groupBy("u").agg(F.min("v").alias("m")))
         small = (large.join(smins, "u")
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .union(large.join(smins, "u").select("u", "m"))
+                 .select(F.explode(F.array(
+                     F.struct(F.col("v").alias("u"),
+                              F.col("m").alias("v")),
+                     F.struct(F.col("u").alias("u"),
+                              F.col("m").alias("v")))).alias("p"))
+                 .select("p.u", "p.v")
                  .filter(F.col("u") != F.col("v"))
                  .distinct().localCheckpoint())
         new_sig = _sig(small)
@@ -129,8 +138,14 @@ def connected_components_twostar(edges: DataFrame, src: str = "src",
         if new_sig == sig:
             break
         sig = new_sig
-    # stars: u -> root; roots (and isolated ids) label themselves
-    return (ids.join(e.withColumnRenamed("u", "id"), "id", "left")
+    # stars: u -> root; roots (and isolated ids) label themselves. At
+    # the fixpoint each u holds exactly ONE parent edge, but when
+    # max_iter exhausts first a node can still hold several — collapse
+    # to min(v) so the (id, component) one-row-per-id contract holds
+    # unconditionally (labels may be pre-fixpoint then, same caveat as
+    # an exhausted hash-min loop, but never duplicated/fanned out).
+    parents = e.groupBy("u").agg(F.min("v").alias("v"))
+    return (ids.join(parents.withColumnRenamed("u", "id"), "id", "left")
             .select("id", F.coalesce("v", "id").alias("component")))
 
 

@@ -65,6 +65,9 @@ class FakeDF:
     def drop(self, *_):
         return self
 
+    def localCheckpoint(self):
+        return self
+
     def collect(self):
         return []
 
@@ -212,3 +215,50 @@ def test_env_var_selects_catalog(tmp_path, monkeypatch):
                            out_root=str(tmp_path / "kg2"), n_buckets=8)
     assert w2.ice is None
     assert (tmp_path / "kg2" / "_KG_META.json").exists()
+
+
+def test_graph_exists_requires_both_tables():
+    """replace_graph commits nodes and edges as two snapshots; a crash
+    between them must not read as "graph exists" (that would route a
+    replayed finalize into MERGE against a missing edges table)."""
+    fake = FakeSpark()
+    ice = IcebergTableIO(fake, catalog="lake")
+    assert not ice.graph_exists()
+    fake.existing_tables.add("lake.kg.nodes")
+    assert not ice.graph_exists()  # edges still missing: NOT a graph
+    fake.existing_tables.add("lake.kg.edges")
+    assert ice.graph_exists()
+
+
+def test_first_finalize_replays_replace_after_partial_crash(
+        tmp_path, monkeypatch, spark):
+    # `spark` (unused directly) keeps an active SparkContext so the
+    # F.col(...) expressions finalize_graph builds can be constructed;
+    # all table traffic still flows through the recording FakeSpark.
+    """Crash-recovery regression: first finalize died between the nodes
+    and edges createOrReplace commits (nodes table exists, zero buckets
+    recorded finalized). The replay must take the replace branch —
+    createOrReplace is idempotent — never MERGE INTO the edges table
+    that was never created."""
+    from memex_kg_spark.io import tables as tables_mod
+    from memex_kg_spark.io.tables import ResumableKGWriter
+
+    fake = FakeSpark()
+    fake.existing_tables.add("lake.kg.nodes")  # the partial crash state
+    w = ResumableKGWriter(fake, synth_path="unused",
+                          out_root=str(tmp_path / "kg"),
+                          n_buckets=8, catalog="lake")
+    monkeypatch.setattr(tables_mod.pipeline, "load_synth",
+                        lambda s, p: {"alias_dim": FakeDF(fake, "alias"),
+                                      "pred_dim": FakeDF(fake, "pred")})
+    monkeypatch.setattr(tables_mod, "build_nodes",
+                        lambda t, a: FakeDF(fake, "cand_nodes"))
+    monkeypatch.setattr(tables_mod, "build_edges",
+                        lambda t, n, p: FakeDF(fake, "cand_edges"))
+    fake.log.clear()
+    w.finalize_graph()
+    ops = [(op, t) for op, t, *_ in
+           [e + ("",) * (3 - len(e)) for e in fake.log]]
+    assert ("createOrReplace", "lake.kg.nodes") in ops
+    assert ("createOrReplace", "lake.kg.edges") in ops
+    assert not any(q.startswith("MERGE INTO") for q in sqls(fake))

@@ -149,6 +149,26 @@ def test_twostar_adversarial_diameter(spark):
     assert via_api == got
 
 
+def test_twostar_exhaustion_keeps_one_row_per_id(spark):
+    """Regression (r4 self-review): when max_iter exhausts BEFORE the
+    parent-edge fixpoint, a node can still hold several parent edges;
+    the final star join must not fan out into duplicate (id, component)
+    rows — the one-row-per-id contract holds unconditionally (labels may
+    be pre-fixpoint, exactly like an exhausted hash-min loop)."""
+    from memex_kg_spark.operators.components import (
+        connected_components_twostar)
+
+    n = 40
+    pairs = ([(f"q{i:03d}", f"q{i + 1:03d}") for i in range(n - 1)]
+             + [(f"q{i:03d}", f"q{(i * 7) % n:03d}") for i in range(n)
+                if i != (i * 7) % n])
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    rows = connected_components_twostar(edges, max_iter=1).collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate ids after exhaustion"
+    assert set(ids) == {f"q{i:03d}" for i in range(n)}
+
+
 _kv = st.dictionaries(
     st.integers(min_value=0, max_value=9).map(lambda i: f"k{i}"),
     st.integers(min_value=0, max_value=99), min_size=0, max_size=8)
