@@ -30,7 +30,8 @@ while [ $(( $(date +%s) - T0 )) -lt "$TOTAL" ]; do
       # CLEAN shots that a flat 1.3 trigger would starve; the merge keeps
       # only the cleanest/fastest sample either way.
       case "$c" in
-        2)  gate=1.3 ;;
+        2)  gate=1.45 ;;  # mild phases (1.3-1.6) starve a 1.3 trigger;
+            # a 1.45-fired c2 shot graded clean in-run (1.86, r4)
         8)  gate=2.0 ;;
         *)  gate=3.0 ;;
       esac
