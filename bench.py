@@ -166,7 +166,30 @@ def run_aux_queries(spark, sf_dir: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _acquire_measure_lock():
+    """Take the camps' advisory fire-lock (BENCH/.camp.lock) for THIS
+    process, cross-process, released on close/exit.
+
+    Camps poll-and-fire through this lock, so camp-vs-camp was always
+    interlocked — but stage_run (the driver's headline measurement) and
+    stage_gen (corpus generation) never held it, so a babysat camp
+    sitting on a warm JVM could fire a full multi-minute pipeline run
+    INTO the driver's headline or the driver's generation load: the camp
+    shot reads our load as host noise (wasted window, honest dirty
+    label), and worse, the headline's in-run watcher reads the camp's
+    shot as a storm (false-dirty headline — a likely contributor to
+    three rounds of dirty scaling_this_run). Every Spark-measuring
+    bench entry point now holds the lock for its whole invocation;
+    camps poll-wait meanwhile (their own gate probes already skip while
+    the lock is held, so they neither probe nor fire into our work)."""
+    import fcntl
+    f = open(os.path.join(REPO, "BENCH", ".camp.lock"), "w")
+    fcntl.flock(f, fcntl.LOCK_EX)
+    return f
+
+
 def stage_gen(bench_sf: float, cpus: int) -> None:
+    _lock = _acquire_measure_lock()  # noqa: F841 (held until exit)
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     from memex_kg_spark.synth.spark_gen import ensure_synth_spark
@@ -383,6 +406,8 @@ def stage_run(cores: int, synth_path: str, sf_dir: str, with_aux: bool,
     phase and waits (bounded) for it to pass; per-run probe ratios are
     reported alongside the walls so a reader can judge each sample."""
     stage_t0 = time.time()
+    _lock = _acquire_measure_lock()  # noqa: F841 — no camp may fire or
+    # probe into this invocation's measured runs (held until exit)
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     cal_best = min(_calibrate() for _ in range(2))
@@ -741,8 +766,12 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
 
     # warm pass in stage order (JIT, Python workers, broadcasts; the
     # extract redo below rebuilds statements/mentions that link/nodes
-    # then reuse) — never banked
+    # then reuse) — never banked. Hold the fire-lock meanwhile: another
+    # camp firing into our warm load would waste its window.
+    _warm_lock = _acquire_measure_lock()
     warm_walls = {st: redo(st)[0] for st in stages}
+    _warm_lock.close()  # flock released on close; the fire loop below
+    # re-acquires per shot through its own handle
     print(f"CAMP c{cores} sf{corpus_sf:g}: warm "
           f"{json.dumps(warm_walls)}, stage-sniping", flush=True)
     # Advisory fire-lock: several camps (one warm JVM per cores level)
@@ -1312,11 +1341,13 @@ def workload_hash() -> str:
 
 
 def _merge_best_pair(pair_now: dict) -> dict:
-    """Keep the cleanest (lowest worst-level cal ratio, then fastest-hi)
-    scaling pair ever measured FOR THE CURRENT PIPELINE CODE, persisted in
-    BENCH/best_pair.json. Noisy pairs (worst cal > CAL_CLEAN_MAX) are
-    reported but never stored; a stored pair from different pipeline code
-    is discarded."""
+    """Keep the best scaling pair ever measured FOR THE CURRENT PIPELINE
+    CODE, persisted in BENCH/best_pair.json. Quality order matches the
+    per-level full-run bank (_merge_best_fullrun): clean-class first,
+    then lowest hi-level wall, then lowest worst-level cal — host noise
+    only ever ADDS wall time, so among gate-clean samples the fastest is
+    the least contaminated. Dirty pairs are reported but never stored; a
+    stored pair from different pipeline code is discarded."""
     path = os.path.join(REPO, "BENCH", "best_pair.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     wh = workload_hash()
@@ -1334,7 +1365,8 @@ def _merge_best_pair(pair_now: dict) -> dict:
         return max(p.get("cal_lo_best", 99), p.get("cal_hi_best", 99))
 
     def quality(p):
-        return (worst_cal(p), p.get("wall_hi_sec", 1e9))
+        return (not _pair_clean(p), p.get("wall_hi_sec", 1e9),
+                worst_cal(p))
 
     best = pair_now
     if stored is not None:
