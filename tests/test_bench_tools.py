@@ -307,3 +307,48 @@ def test_camp_best_to_result_shape():
     # be present (pair_now + queries construction in bench.main)
     for k in ("cal_ratios", "cal_inruns", "stage_mins"):
         assert k in r
+
+
+def test_measure_lock_excludes_camp_fire(tmp_path, monkeypatch):
+    """stage_run/stage_gen hold the camps' advisory fire-lock: while a
+    measurement owns it, a camp's non-blocking acquire (its poll/fire
+    path) must fail, so no camp can fire into a driver headline run."""
+    import fcntl
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    held = bench._acquire_measure_lock()
+    other = open(tmp_path / "BENCH" / ".camp.lock", "w")
+    import pytest
+    with pytest.raises(OSError):
+        fcntl.flock(other, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    held.close()  # released on close: the camp's acquire now succeeds
+    fcntl.flock(other, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    fcntl.flock(other, fcntl.LOCK_UN)
+    other.close()
+
+
+def test_merge_best_pair_prefers_fast_hi_among_clean(tmp_path,
+                                                     monkeypatch):
+    """Among gate-clean pairs the ordering matches _merge_best_fullrun:
+    lowest hi-level wall wins (noise only inflates walls), not lowest
+    cal — a 1.6-cal 15.6 s c8 sample beats a 1.45-cal 16.1 s one."""
+    import json
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "workload_hash", lambda: "wh")
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    slower_cleaner = {
+        "workload_hash": "wh", "corpus_sf": 3.0, "cores_lo": 2,
+        "cores_hi": 8, "wall_lo_sec": 57.6, "wall_hi_sec": 16.13,
+        "cal_lo_best": 1.53, "cal_hi_best": 1.45,
+        "cal_inrun_lo": 1.86, "cal_inrun_hi": 1.99, "efficiency": 0.892}
+    (tmp_path / "BENCH" / "best_pair.json").write_text(
+        json.dumps(slower_cleaner))
+    faster = {**slower_cleaner, "wall_hi_sec": 15.61,
+              "cal_hi_best": 1.6, "cal_inrun_hi": 2.13,
+              "efficiency": 0.922}
+    best = bench._merge_best_pair(faster)
+    assert best["wall_hi_sec"] == 15.61
+    # but a DIRTY faster pair must never displace a clean one
+    dirty = {**faster, "wall_hi_sec": 12.0, "cal_inrun_hi": 9.0}
+    best = bench._merge_best_pair(dirty)
+    assert best["wall_hi_sec"] == 15.61
