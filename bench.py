@@ -559,6 +559,13 @@ def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
         data = {}
     key = f"{workload_hash()}|sf{corpus_sf:g}|c{cores}"
     cur = data.get(key)
+    # rolling shot history: every fired wall, clean or dirty, so wall
+    # CONSISTENCY across independent windows is recorded data (walls
+    # that agree to ~1% across quiet and mid-storm windows bound the
+    # noise contribution tightly — noise only ever inflates; see the
+    # sf6 c2 note in BENCH/BASELINE.md)
+    hist = ((cur.get("walls_seen", [cur["wall"]]) if cur else [])
+            + [round(wall, 3)])[-12:]
     cand = {"wall": round(wall, 3), "cal": round(cal, 2),
             "cal_inrun": round(cal_inrun, 2), "n_triples": n_triples,
             "at": time.strftime("%Y-%m-%d %H:%M:%S")}
@@ -566,8 +573,9 @@ def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
     if cur is None or cand_q < (not _fullrun_clean(cur, cores),
                                 cur["wall"]):
         data[key] = cand
-        with open(path, "w") as f:
-            json.dump(data, f, indent=1)
+    data[key]["walls_seen"] = hist
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
     if cores == 32 and _fullrun_clean(cand, cores):
         # a clean camped local[32] run IS a headline measurement
         _merge_best_headline({
