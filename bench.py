@@ -1159,6 +1159,7 @@ def main() -> None:
         "headline_stagewise_clean": headline_stagewise_bound(
             cpus, bench_sf),
         "scaling": best_pair,
+        "fullrun_wall_history": fullrun_wall_history(),
         "scaling_stagewise_clean": all_stagewise_clean(lo, hi),
         "amdahl": amdahl_fit(lo, hi),
         "scaling_this_run": {
@@ -1453,6 +1454,36 @@ def _merge_best_headline(now: dict) -> dict:
     elif stored is not None:
         best = stored
     return best
+
+
+def fullrun_wall_history() -> dict:
+    """Per-(corpus, cores) shot-wall spread for the CURRENT workload
+    hash, from the rolling ``walls_seen`` history in best_fullrun.json.
+    Walls that agree to ~1% across independent windows (quiet and
+    mid-storm) bound the noise contribution in the level's best wall:
+    host noise only ever inflates, so a tight spread means no shot was
+    materially inflated — recorded so a reader of the driver artifact
+    sees the consistency evidence, not just the best sample's label."""
+    wh = workload_hash()
+    try:
+        with open(os.path.join(REPO, "BENCH", "best_fullrun.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for key, e in data.items():
+        if not key.startswith(wh + "|"):
+            continue
+        hist = e.get("walls_seen") or []
+        if len(hist) < 2:
+            continue
+        lo, hi = min(hist), max(hist)
+        out[key.split("|", 1)[1]] = {
+            "n_shots": len(hist), "wall_min": lo, "wall_max": hi,
+            "spread_pct": round(100.0 * (hi - lo) / lo, 2),
+            "best_label": ("clean" if _fullrun_clean(
+                e, int(key.rsplit("|c", 1)[1])) else "dirty")}
+    return out
 
 
 def efficiency_best_evidence(best_pair: dict, stagewise: dict,
