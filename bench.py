@@ -1474,8 +1474,10 @@ def fullrun_wall_history() -> dict:
     for key, e in data.items():
         if not key.startswith(wh + "|"):
             continue
-        hist = e.get("walls_seen") or []
-        if len(hist) < 2:
+        hist = (e.get("walls_seen") or []) + [e["wall"]]
+        # the rolling history caps at 12 shots, so the banked best can
+        # roll off it — fold it back in for the spread
+        if len(hist) < 3:
             continue
         lo, hi = min(hist), max(hist)
         out[key.split("|", 1)[1]] = {
