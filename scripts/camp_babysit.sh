@@ -30,8 +30,12 @@ while [ $(( $(date +%s) - T0 )) -lt "$TOTAL" ]; do
       # CLEAN shots that a flat 1.3 trigger would starve; the merge keeps
       # only the cleanest/fastest sample either way.
       case "$c" in
-        2)  gate=1.45 ;;  # mild phases (1.3-1.6) starve a 1.3 trigger;
-            # a 1.45-fired c2 shot graded clean in-run (1.86, r4)
+        2)  gate=1.6 ;;   # mild phases (1.3-1.6) starve a 1.3 trigger;
+            # a 1.45-fired c2 shot graded clean in-run (1.86, r4).
+            # 1.6 is the headroom ceiling: the post-hoc c2 in-run gate
+            # is 2.5x and self-load reads ~1.3-1.9x on top of ambient,
+            # so shots fired above ~1.6 ambient grade dirty with
+            # certainty — a higher trigger only burns windows.
         8)  gate=2.0 ;;
         *)  gate=3.0 ;;
       esac
