@@ -1063,12 +1063,14 @@ def main() -> None:
         # post-hoc clean gates are self-load-aware (2.5x c2 / 4x c8), so
         # firing the hi level only under a 1.3 ambient starves it during
         # mild sustained phases where its shots would still grade clean
-        # c2 fires at 1.45, not 1.3: the host shows hours-long MILD
+        # c2 fires at 1.6, not 1.3: the host shows hours-long MILD
         # phases (ambient 1.3-1.6) during which a flat 1.3 trigger never
         # fires, yet a c2 shot fired at a 1.45-confirmed window was
-        # measured clean in-run (1.86 <= 2.5 gate, r4) — the post-hoc
-        # clean gates, not the fire gate, do the grading either way
-        gate = "1.45" if cores <= 2 else ("2.0" if cores <= 8 else "3.0")
+        # measured clean in-run (1.86 <= 2.5 gate, r4). 1.6 is the
+        # headroom ceiling: self-load adds ~1.3-1.9x over ambient, so
+        # shots fired above ~1.6 ambient grade dirty with certainty —
+        # the post-hoc clean gates, not the fire gate, do the grading
+        gate = "1.6" if cores <= 2 else ("2.0" if cores <= 8 else "3.0")
         out = _sub(["--stage", "camp", "--full", "--this-run",
                     "--cores", str(cores), "--synth", synth_path,
                     "--budget", str(round(budget_s, 1)),
