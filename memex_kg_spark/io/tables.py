@@ -95,13 +95,36 @@ class ResumableKGWriter:
         return self.spark.read.parquet(self.lineage_path)
 
     def committed_buckets(self) -> set[int]:
+        """Buckets with an ``ok`` lineage row (skipped on resume).
+
+        Only "lineage does not exist yet" (a fresh run) maps to the
+        empty set. Any other failure — a transient FS error, a catalog
+        outage — re-raises: swallowing it would silently reprocess every
+        bucket, which is idempotent (overwrite + anti-join absorb it)
+        but a full-warehouse rescan at scale (r4 verdict #3)."""
         try:
             rows = (self._read_lineage()
                     .filter(F.col("status") == "ok")
                     .select("bucket").distinct().collect())
             return {r["bucket"] for r in rows}
-        except Exception:
-            return set()
+        except Exception as e:
+            if self._lineage_missing(e):
+                return set()
+            raise
+
+    def _lineage_missing(self, e: Exception) -> bool:
+        """True iff the error means the lineage table/path doesn't exist
+        (first run against this warehouse), checked against the actual
+        filesystem/catalog state rather than by parsing error strings."""
+        if self.ice is not None:
+            try:
+                names = {r["tableName"] for r in self.spark.sql(
+                    f"SHOW TABLES IN {self.ice.catalog}."
+                    f"{self.ice.namespace}").collect()}
+                return "lineage" not in names
+            except Exception:
+                return False  # catalog itself unreachable: not "absent"
+        return not os.path.exists(self.lineage_path)
 
     def _commit(self, bucket: int, rows_in: int, n_triples: int,
                 wall_ms: int) -> None:

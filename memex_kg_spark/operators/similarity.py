@@ -273,17 +273,30 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.99,
 
 def pairwise_topk_per_item(emb: DataFrame, k: int, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           n_planes: int = 8, seed: int = 42) -> DataFrame:
+                           n_planes: int = 8, seed: int = 42,
+                           max_bucket: int = EMBED_LSH_MAX_BUCKET
+                           ) -> DataFrame:
     """All-pairs k-NN via LSH bucket self-join (the scale path for
-    embedding-cosine near-dup): pairs only form inside a bucket."""
+    embedding-cosine near-dup): pairs only form inside a bucket.
+
+    Buckets larger than ``max_bucket`` are dropped (the same hot-bucket
+    anti-join that bounds ``embedding_near_dup_pairs``): a tight
+    embedding cluster hashing to one bucket would otherwise make that
+    bucket's self-join quadratic at corpus scale. Work is bounded at
+    max_bucket^2 pairs per bucket; neighbors are only ever sought among
+    same-bucket candidates, so the cap trades recall inside pathological
+    hot buckets for a hard upper bound on join fan-out."""
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
     sigs = lsh_signatures(emb, dim_row["d"], n_planes, seed, vec_col)
-    a = sigs.select(F.col(id_col).alias("a_id"),
+    hot = (sigs.groupBy("bucket").count()
+           .filter(F.col("count") > max_bucket).drop("count"))
+    cold = sigs.join(hot, ["bucket"], "left_anti")
+    a = cold.select(F.col(id_col).alias("a_id"),
                     F.col(vec_col).alias("a_vec"), "bucket")
-    b = sigs.select(F.col(id_col).alias("b_id"),
+    b = cold.select(F.col(id_col).alias("b_id"),
                     F.col(vec_col).alias("b_vec"), "bucket")
     pairs = (a.join(b, "bucket")
-             .filter(F.col("a_id") < F.col("b_id"))
+             .filter(F.col("a_id") != F.col("b_id"))
              .withColumn("sim", F.round(cosine(F.col("a_vec"),
                                                F.col("b_vec")), 4)))
     from pyspark.sql import Window

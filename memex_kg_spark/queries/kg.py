@@ -182,14 +182,30 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes with the dynamic property map hashed as a canonical sorted
     ``k=v;...`` string (maps render engine-specifically; the string form
-    makes the value hash engine-portable)."""
-    nodes = kg_artifacts(spark, sf_dir)["nodes"]
+    makes the value hash engine-portable).
+
+    ``canonical_id_twostar`` recomputes the canonical id with the
+    large-star/small-star algorithm (r5 verdict #3: the twostar CC was
+    property-tested but invisible to the driver artifact). Its output
+    contract equals hash-min's, so the oracle asserts it equals the
+    recursive-CTE canonical id — the value hash covers BOTH CC paths."""
+    art = kg_artifacts(spark, sf_dir)
+    nodes = art["nodes"]
+    from ..operators.components import (alias_component_edges,
+                                        connected_components_twostar)
+    cc2 = connected_components_twostar(
+        alias_component_edges(art["alias_dim"]))
     props_str = F.array_join(
         F.array_sort(F.transform(
             F.map_entries("props"),
             lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
-    return nodes.select("qid", "label", "node_type", "lat", "lon",
-                        "canonical_id", props_str.alias("props_str"))
+    return (nodes.select("qid", "label", "node_type", "lat", "lon",
+                         "canonical_id", props_str.alias("props_str"))
+            .join(cc2.withColumnRenamed("id", "qid"), "qid", "left")
+            .select("qid", "label", "node_type", "lat", "lon",
+                    "canonical_id", "props_str",
+                    F.coalesce("component", "qid")
+                    .alias("canonical_id_twostar")))
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +468,7 @@ def q_csv_manual_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     manual = (numbered.crossJoin(F.broadcast(mx))
               .select((F.col("_rid") + F.col("mx")).cast("long")
                       .alias("mid"), "title", "category"))
-    nodes = q_kg_nodes(spark, sf_dir)
+    nodes = kg_artifacts(spark, sf_dir)["nodes"]
     return (manual.join(F.broadcast(nodes),
                         manual.category == nodes.label, "inner")
             .select("mid", "title", "category", "qid",
@@ -504,7 +520,8 @@ def kg_oracle_sql(sf: float = 0.01) -> dict:
         "kg_nodes": _wrap(
             p, """SELECT n.qid, n.label, n.node_type, n.lat, n.lon,
                          n.canonical_id, coalesce(ps.props_str, '')
-                             AS props_str
+                             AS props_str,
+                         n.canonical_id AS canonical_id_twostar
                   FROM nodes n LEFT JOIN (
                       SELECT qid, string_agg(pred || '=' || obj, ';'
                           ORDER BY pred || '=' || obj) AS props_str

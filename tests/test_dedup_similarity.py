@@ -180,3 +180,38 @@ def test_embedding_lsh_bucket_cap(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_pairwise_topk_per_item_capped(spark):
+    """r5 (verdict #2): pairwise_topk_per_item gets the same hot-bucket
+    cap as embedding_near_dup_pairs. A tight cluster over the cap is
+    dropped (bounded work); under the cap every item reports both
+    directions of each neighbor pair (per-item lists, a!=b not a<b)."""
+    v = [0.9, -0.3, 0.5, 0.1, -0.7, 0.2, -0.4, 0.8]
+    rows = [(i, [x * (1.0 + i) for x in v]) for i in range(30)]
+    s = 54321
+    for i in range(100, 120):
+        vec = []
+        for _ in range(8):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vec.append(s / float(1 << 30) - 1.0)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = S.pairwise_topk_per_item(df, k=3, max_bucket=5)
+    assert not [r for r in capped.collect() if r["a_id"] < 30]
+
+    open_ = S.pairwise_topk_per_item(df, k=40, max_bucket=64).collect()
+    per_item = {}
+    for r in open_:
+        per_item.setdefault(r["a_id"], set()).add(r["b_id"])
+    # the scaled-copy cluster shares one sign signature: every member
+    # sees every other member (both directions), sims all 1.0
+    for a in range(30):
+        assert per_item[a] >= {b for b in range(30) if b != a}
+    assert all(r["sim"] == 1.0 for r in open_
+               if r["a_id"] < 30 and r["b_id"] < 30)
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

@@ -174,3 +174,30 @@ def test_streaming_equals_batch(spark, sf_dir_smoke, batch_triples):
         assert streamed_triples(spark, out).count() == n_before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_committed_buckets_reraises_transient_errors(spark, sf_dir_smoke):
+    """r5 (verdict #4): a transient lineage READ failure must abort the
+    resume, not silently return "no buckets committed" and reprocess the
+    whole warehouse. Only true absence (fresh run) maps to set()."""
+    tmp = tempfile.mkdtemp(prefix="kgwh-")
+    try:
+        w = ResumableKGWriter(spark, sf_dir_smoke, tmp, n_buckets=6,
+                              run_id="r1")
+        # fresh warehouse: lineage absent -> empty set, no raise
+        assert w.committed_buckets() == set()
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            w.run(fail_after=2)
+        assert len(w.committed_buckets()) == 2
+
+        # corrupt the lineage dir so the read fails while the path
+        # EXISTS: a stand-in for any transient FS/catalog read error
+        lp = w.lineage_path
+        shutil.rmtree(lp)
+        os.makedirs(lp)
+        with open(os.path.join(lp, "part-corrupt.parquet"), "w") as f:
+            f.write("not a parquet file")
+        with pytest.raises(Exception):
+            w.committed_buckets()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
