@@ -506,6 +506,30 @@ def _inrun_gate(cores: int) -> float:
     return 4.0 if cores <= 8 else 8.0
 
 
+# Self-load range observed on a quiet host: the in-run probe contends
+# with the measured Spark job, so even clean runs read ~1.3-1.9x over
+# ambient (level-dependent; see _inrun_gate docstring).
+SELF_LOAD_MAX = 0.9
+
+
+def fire_gate(cores: int) -> float:
+    """Max ambient probe/floor ratio at which a camp fires a shot — the
+    SINGLE source for the per-level trigger (ADVICE r4: this value was
+    hand-mirrored in scripts/camp_babysit.sh and main's camp launcher).
+
+    Derivation: a shot fired at ambient A reads at worst A +
+    SELF_LOAD_MAX in-run, so firing above _inrun_gate - SELF_LOAD_MAX
+    can only land a clean grade if self-load comes in under its
+    worst case — likely wasted windows, occasionally lucky. The c2
+    trigger therefore sits at 2.5 - 0.9 = 1.6; higher levels get
+    proportionally more headroom but keep conservative triggers (their
+    shots are cheap and mild phases are common, so there is little to
+    gain from firing deeper into noise)."""
+    if cores <= 2:
+        return round(_inrun_gate(cores) - SELF_LOAD_MAX, 2)  # 1.6
+    return 2.0 if cores <= 8 else 3.0
+
+
 # Neighborhood sanity bound for the probes that BRACKET a run: brackets
 # measure the host just before/after the run, not during it — the in-run
 # watcher is the primary evidence — but a run fired deep inside a storm
@@ -604,7 +628,7 @@ def _merge_best_fullrun(cores: int, corpus_sf: float, wall: float,
 
 
 def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
-               gate: float = 1.3, poll_s: float = 12.0,
+               gate: float | None = None, poll_s: float = 12.0,
                polish: bool = False, full: bool = False,
                this_run: bool = False) -> None:
     """Warm-JVM clean-window sniper.
@@ -629,6 +653,8 @@ def stage_camp(cores: int, synth_path: str, budget_s: float = 1800.0,
     data. Prints the invocation's best sample as a final
     ``CAMP_BEST_JSON=`` line (clean-first, then lowest wall)."""
     t0 = time.time()
+    if gate is None:
+        gate = fire_gate(cores)
     import re as _re
     m_sf = _re.search(r"sf([0-9.]+)", os.path.basename(
         os.path.normpath(synth_path)))
@@ -1059,22 +1085,15 @@ def main() -> None:
     # fires one unconditional run at the end, so scaling_this_run always
     # carries honest data.
     def measure_camp(cores: int, budget_s: float) -> dict:
-        # per-level fire gate, mirroring scripts/camp_babysit.sh: the
-        # post-hoc clean gates are self-load-aware (2.5x c2 / 4x c8), so
-        # firing the hi level only under a 1.3 ambient starves it during
-        # mild sustained phases where its shots would still grade clean
-        # c2 fires at 1.6, not 1.3: the host shows hours-long MILD
-        # phases (ambient 1.3-1.6) during which a flat 1.3 trigger never
-        # fires, yet a c2 shot fired at a 1.45-confirmed window was
-        # measured clean in-run (1.86 <= 2.5 gate, r4). 1.6 is the
-        # headroom ceiling: self-load adds ~1.3-1.9x over ambient, so
-        # shots fired above ~1.6 ambient grade dirty with certainty —
-        # the post-hoc clean gates, not the fire gate, do the grading
-        gate = "1.6" if cores <= 2 else ("2.0" if cores <= 8 else "3.0")
+        # per-level fire gate from the single source (fire_gate): the
+        # post-hoc clean gates are self-load-aware, so firing only under
+        # a flat 1.3 ambient starves levels during mild sustained phases
+        # where their shots would still grade clean (a c2 shot fired at
+        # a 1.45-confirmed window graded clean in-run at 1.86, r4). The
+        # post-hoc clean gates, not the fire trigger, do the grading.
         out = _sub(["--stage", "camp", "--full", "--this-run",
                     "--cores", str(cores), "--synth", synth_path,
-                    "--budget", str(round(budget_s, 1)),
-                    "--gate", gate])
+                    "--budget", str(round(budget_s, 1))])
         return camp_best_to_result(json.loads(
             [ln for ln in out.splitlines()
              if ln.startswith("CAMP_BEST_JSON=")][-1].split("=", 1)[1]))
@@ -1663,16 +1682,20 @@ if __name__ == "__main__":
         ap.add_argument("--full", action="store_true")
         ap.add_argument("--this-run", action="store_true",
                         dest="this_run")
-        ap.add_argument("--gate", type=float, default=1.3,
+        ap.add_argument("--gate", type=float, default=None,
                         help="camp fire gate: max probe/floor ratio to "
-                             "fire a shot (the post-hoc clean gates are "
-                             "looser; a mild sustained phase can sit "
-                             "between them and starve a 1.3 trigger)")
+                             "fire a shot; default = fire_gate(cores), "
+                             "the single per-level source (the post-hoc "
+                             "clean gates are looser; a mild sustained "
+                             "phase can sit between them and starve a "
+                             "flat low trigger)")
         a = ap.parse_args()
         if a.stage == "gen":
             stage_gen(a.sf, a.cores)
         elif a.stage == "camp":
-            stage_camp(a.cores, a.synth, budget_s=a.budget, gate=a.gate,
+            stage_camp(a.cores, a.synth, budget_s=a.budget,
+                       gate=a.gate if a.gate is not None
+                       else fire_gate(a.cores),
                        polish=a.polish, full=a.full or a.this_run,
                        this_run=a.this_run)
         else:

@@ -24,23 +24,12 @@ while [ $(( $(date +%s) - T0 )) -lt "$TOTAL" ]; do
       left=$(( TOTAL - ($(date +%s) - T0) ))
       [ "$left" -le 120 ] && break 2
       budget=$(( left < 3000 ? left : 3000 ))
-      # per-level fire gate: the post-hoc clean gates are self-load-aware
-      # (in-run <= 2.5x at c2 / 4x at c8 / 8x at c32), so during a mild
-      # sustained phase (ambient 2-3x) the high levels can still land
-      # CLEAN shots that a flat 1.3 trigger would starve; the merge keeps
-      # only the cleanest/fastest sample either way.
-      case "$c" in
-        2)  gate=1.6 ;;   # mild phases (1.3-1.6) starve a 1.3 trigger;
-            # a 1.45-fired c2 shot graded clean in-run (1.86, r4).
-            # 1.6 is the headroom ceiling: the post-hoc c2 in-run gate
-            # is 2.5x and self-load reads ~1.3-1.9x on top of ambient,
-            # so shots fired above ~1.6 ambient grade dirty with
-            # certainty — a higher trigger only burns windows.
-        8)  gate=2.0 ;;
-        *)  gate=3.0 ;;
-      esac
+      # no --gate: bench.py defaults to fire_gate(cores), the single
+      # per-level source for the trigger (ADVICE r4: the values were
+      # hand-mirrored here and drifted risk); the post-hoc self-load-
+      # aware clean gates, not the trigger, do the grading.
       nohup python "$REPO/bench.py" --stage camp --cores "$c" \
-        --synth "$SYNTH" --budget "$budget" --full --gate "$gate" \
+        --synth "$SYNTH" --budget "$budget" --full \
         >> "/tmp/camp2_$(basename "$SYNTH")_c${c}_full.log" 2>&1 &
       sleep 5
     fi
