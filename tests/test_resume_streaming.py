@@ -201,3 +201,32 @@ def test_committed_buckets_reraises_transient_errors(spark, sf_dir_smoke):
             w.committed_buckets()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lineage_compaction_preserves_resume(spark, sf_dir_smoke):
+    """r5 (r4 verdict cosmetic #4): after a full run the per-bucket
+    lineage files compact into one; committed_buckets is unchanged and
+    a re-run still skips every bucket."""
+    import glob
+    tmp = tempfile.mkdtemp(prefix="kgwh-")
+    try:
+        w = ResumableKGWriter(spark, sf_dir_smoke, tmp, n_buckets=6,
+                              run_id="c1")
+        w.run()  # default min_files=16 > 6: no compaction yet
+        before = w.committed_buckets()
+        assert before == set(range(6))
+        n_files = len(glob.glob(os.path.join(w.lineage_path, "part-*")))
+        assert n_files >= 6
+
+        removed = w.compact_lineage(min_files=2)
+        assert removed == n_files
+        assert len(glob.glob(
+            os.path.join(w.lineage_path, "part-*"))) == 1
+        assert w.committed_buckets() == before
+
+        w2 = ResumableKGWriter(spark, sf_dir_smoke, tmp, n_buckets=6,
+                              run_id="c2")
+        stats = w2.run()
+        assert stats["processed"] == 0 and stats["skipped"] == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
