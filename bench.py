@@ -1180,6 +1180,7 @@ def main() -> None:
         "headline_stagewise_clean": headline_stagewise_bound(
             cpus, bench_sf),
         "scaling": best_pair,
+        "scaling_storm_insensitive": storm_insensitive_pairs(),
         "fullrun_wall_history": fullrun_wall_history(),
         "scaling_stagewise_clean": all_stagewise_clean(lo, hi),
         "amdahl": amdahl_fit(lo, hi),
@@ -1509,6 +1510,70 @@ def fullrun_wall_history() -> dict:
     return out
 
 
+def storm_insensitive_pairs(data: dict | None = None,
+                            wh: str | None = None) -> dict:
+    """Implied N->4N efficiency BOUNDS from shot-wall consistency, for
+    corpus sizes whose direct pair never certified clean (r4: the sf6
+    c2 level starved through multi-hour ambient phases while its fired
+    walls clustered tightly at the minimum — noise only ever inflates a
+    wall, so several independent shots agreeing near the min bound the
+    clean wall from above, and the implied pair bounds efficiency).
+
+    This is an explicitly UNCERTIFIED tier: it is reported beside the
+    certified evidence (never merged into best_pair / best-evidence
+    tiers) with the consistency data a skeptical reader needs — shot
+    count and how many shots sit within 2/5/10% of the minimum. A level
+    contributes its clean best wall when it has one, else its min wall
+    over >= 3 shots."""
+    if wh is None:
+        wh = workload_hash()
+    if data is None:
+        try:
+            with open(os.path.join(REPO, "BENCH",
+                                   "best_fullrun.json")) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return {}
+    per: dict = {}
+    for key, e in data.items():
+        if not key.startswith(wh + "|"):
+            continue
+        sf_s, c_s = key.split("|")[1:]
+        cores = int(c_s[1:])
+        if cores not in (2, 8):
+            continue
+        hist = list(e.get("walls_seen") or [])
+        if e["wall"] not in hist:  # banked best may have rolled off the
+            hist.append(e["wall"])  # capped history — fold it back in
+        hist.sort()
+        mn = hist[0]
+        lvl = {"wall_bound": mn, "n_shots": len(hist),
+               "within_2pct": sum(1 for w in hist if w <= mn * 1.02),
+               "within_5pct": sum(1 for w in hist if w <= mn * 1.05),
+               "within_10pct": sum(1 for w in hist if w <= mn * 1.10)}
+        if _fullrun_clean(e, cores):
+            lvl.update(wall_bound=e["wall"], label="clean")
+        elif len(hist) >= 3:
+            lvl["label"] = "storm_insensitive_min"
+        else:
+            continue  # one or two dirty shots bound nothing
+        per.setdefault(float(sf_s[2:]), {})[cores] = lvl
+    out = {}
+    for sf, lv in sorted(per.items()):
+        if 2 not in lv or 8 not in lv:
+            continue
+        if lv[2]["label"] == "clean" and lv[8]["label"] == "clean":
+            continue  # a certified pair exists; this tier adds nothing
+        out[f"sf{sf:g}"] = {
+            "efficiency_bound": round(
+                (lv[2]["wall_bound"] / lv[8]["wall_bound"]) / 4.0, 3),
+            "lo_c2": lv[2], "hi_c8": lv[8], "certified": False,
+            "note": "bound from shot-wall consistency; noise only "
+                    "inflates walls, so min-clustered shots bound the "
+                    "clean wall — NOT a certified clean pair"}
+    return out
+
+
 def efficiency_best_evidence(best_pair: dict, stagewise: dict,
                              amdahl: dict, bench_sf: float) -> dict:
     """One unambiguous answer to "what is the measured N->4N scaling
@@ -1652,6 +1717,17 @@ def _write_bench_md(line: dict) -> None:
                          if v.get("cal", 99) > CAL_CLEAN_MAX]
                 f.write(f"\nstagewise-clean pair ({sfk}): incomplete — "
                         f"stages still lacking a clean sample: {dirty}\n")
+        for sfk, si in (line.get("scaling_storm_insensitive")
+                        or {}).items():
+            f.write(
+                f"\nstorm-insensitive bound ({sfk}, UNCERTIFIED): "
+                f"implied efficiency {si['efficiency_bound']} from "
+                f"lo {si['lo_c2']['wall_bound']} s "
+                f"({si['lo_c2']['label']}, {si['lo_c2']['n_shots']} "
+                f"shots, {si['lo_c2']['within_2pct']} within 2% of min) "
+                f"vs hi {si['hi_c8']['wall_bound']} s "
+                f"({si['hi_c8']['label']}) — consistency bounds noise "
+                f"from above; NOT a certified clean pair\n")
         am = line.get("amdahl") or {}
         if am.get("per_sf"):
             f.write(

@@ -352,3 +352,33 @@ def test_merge_best_pair_prefers_fast_hi_among_clean(tmp_path,
     dirty = {**faster, "wall_hi_sec": 12.0, "cal_inrun_hi": 9.0}
     best = bench._merge_best_pair(dirty)
     assert best["wall_hi_sec"] == 15.61
+
+
+def test_storm_insensitive_pairs_bound():
+    """r5: the uncertified consistency tier. A clean c8 + a c2 whose
+    dirty shots cluster at the min yields an efficiency_bound; a level
+    with <3 dirty shots bounds nothing; a fully clean pair is excluded
+    (the certified tier already covers it)."""
+    data = {
+        # sf6: c8 clean, c2 dirty but 9 shots clustered near the min
+        "wh|sf6|c8": {"wall": 32.768, "cal": 2.23, "cal_inrun": 2.75,
+                      "walls_seen": [32.768, 33.0, 34.1]},
+        "wh|sf6|c2": {"wall": 115.482, "cal": 5.6, "cal_inrun": 6.36,
+                      "walls_seen": [115.482, 127.267, 124.345,
+                                     116.271, 122.524, 140.469]},
+        # sf3: both clean -> excluded
+        "wh|sf3|c8": {"wall": 15.607, "cal": 1.45, "cal_inrun": 2.13},
+        "wh|sf3|c2": {"wall": 57.566, "cal": 1.49, "cal_inrun": 1.86},
+        # sf1: c2 has only 2 dirty shots -> no bound
+        "wh|sf1|c8": {"wall": 8.0, "cal": 1.2, "cal_inrun": 1.5},
+        "wh|sf1|c2": {"wall": 30.0, "cal": 9.0, "cal_inrun": 9.0,
+                      "walls_seen": [30.0]},
+    }
+    out = bench.storm_insensitive_pairs(data=data, wh="wh")
+    assert set(out) == {"sf6"}
+    si = out["sf6"]
+    assert si["certified"] is False
+    assert si["efficiency_bound"] == round((115.482 / 32.768) / 4, 3)
+    assert si["lo_c2"]["label"] == "storm_insensitive_min"
+    assert si["lo_c2"]["within_2pct"] == 2  # 115.482, 116.271
+    assert si["hi_c8"]["label"] == "clean"
